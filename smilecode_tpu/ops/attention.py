@@ -1,0 +1,84 @@
+"""Motion-decomposition neighborhood attention (ModeT core op).
+
+Computes, for every voxel and head, softmax over the 27 logits
+``q · k[neighbor] * scale + rpb[offset]`` (3x3x3 neighborhood, zero-padded
+borders) and contracts with the constant offset grid (-1,0,1)^3 to yield a
+per-head 3-vector deformation subfield.
+
+Parity targets: `/root/reference/ModeT/models.py:278-334` (pure-torch unfold
+version) and the fused CUDA op `/root/reference/ModeT-cu/modet/modet_kernel.cu`
+(QK+RPB) + torch softmax/`attn @ v` (`/root/reference/ModeT-cu/models.py:300-316`).
+
+This module holds the pure-jnp reference ("oracle") formulation — 27 shifted
+slices of the padded key volume, no unfold materialization (the torch version's
+"memory boom"), which XLA fuses well — plus the public dispatch that can route
+to the fused Pallas TPU kernel in `smilecode_tpu.kernels.modet_attn`.
+
+Token ordering matches the reference: t = (od*3 + oh)*3 + ow over window
+positions, offset[t] = (od-1, oh-1, ow-1).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def offset_grid(kernel_size: int = 3) -> np.ndarray:
+    """(k^3, 3) constant V matrix of integer offsets, reference ordering."""
+    r = np.arange(-(kernel_size // 2), kernel_size // 2 + 1)
+    dd, hh, ww = np.meshgrid(r, r, r, indexing="ij")
+    return np.stack([dd, hh, ww], axis=-1).reshape(-1, 3).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "impl"))
+def neighborhood_attention_3d(
+    q: jax.Array,
+    k: jax.Array,
+    rpb: jax.Array | None,
+    scale: float = 1.0,
+    impl: str = "xla",
+) -> jax.Array:
+    """Fused neighborhood attention -> deformation subfields.
+
+    Args:
+      q: (B, D, H, W, heads, head_dim) query (fixed-image projection).
+      k: (B, D, H, W, heads, head_dim) key (moving-image projection).
+      rpb: (heads, 3, 3, 3) relative position bias, or None.
+      scale: query scaling (the reference trains with scale=1,
+        `/root/reference/ModeT/train.py:67`).
+      impl: "xla" (oracle) or "pallas" (fused TPU kernel).
+
+    Returns:
+      (B, D, H, W, heads*3) subfields, channel order head-major then (d,h,w).
+    """
+    if impl == "pallas":
+        from smilecode_tpu.kernels.modet_attn import modet_attention_pallas
+
+        return modet_attention_pallas(q, k, rpb, scale)
+    return _neighborhood_attention_xla(q, k, rpb, scale)
+
+
+def _neighborhood_attention_xla(q, k, rpb, scale):
+    b, d, h, w, heads, hd = q.shape
+    qs = q * jnp.asarray(scale, q.dtype)
+    kp = jnp.pad(k, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0), (0, 0)))
+    logits = []
+    for od in range(3):
+        for oh in range(3):
+            for ow in range(3):
+                kslice = jax.lax.slice(
+                    kp, (0, od, oh, ow, 0, 0), (b, od + d, oh + h, ow + w, heads, hd)
+                )
+                logit = jnp.sum(qs * kslice, axis=-1)  # (B, D, H, W, heads)
+                if rpb is not None:
+                    logit = logit + rpb[:, od, oh, ow].astype(logit.dtype)
+                logits.append(logit)
+    attn = jnp.stack(logits, axis=-1)  # (B, D, H, W, heads, 27)
+    attn = jax.nn.softmax(attn, axis=-1)
+    offs = jnp.asarray(offset_grid(3), attn.dtype)  # (27, 3)
+    out = jnp.einsum("...t,tc->...c", attn, offs)  # (B, D, H, W, heads, 3)
+    return out.reshape(b, d, h, w, heads * 3)
