@@ -10,25 +10,32 @@ XLA lowers to fast separable accumulations on TPU.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
 
-def _box_sum(x: jax.Array, win: int) -> jax.Array:
+def _box_sum_axis(x: jax.Array, win: int, axis: int) -> jax.Array:
+    """Separable box sum along one axis (zero padding), as `win` shifted-slice
+    adds — O(win) adds, fully differentiable (reduce_window's autodiff is
+    broken under jit in jax 0.9)."""
     pad = win // 2
-    return jax.lax.reduce_window(
-        x,
-        jnp.zeros((), x.dtype),
-        jax.lax.add,
-        window_dimensions=(1, win, win, win, 1),
-        window_strides=(1, 1, 1, 1, 1),
-        padding=((0, 0), (pad, pad), (pad, pad), (pad, pad), (0, 0)),
-    )
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (pad, pad)
+    xp = jnp.pad(x, pads)
+    size = x.shape[axis]
+    out = None
+    for o in range(win):
+        sl = jax.lax.slice_in_dim(xp, o, o + size, axis=axis)
+        out = sl if out is None else out + sl
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("win",))
+def _box_sum(x: jax.Array, win: int) -> jax.Array:
+    for axis in (1, 2, 3):
+        x = _box_sum_axis(x, win, axis)
+    return x
+
+
 def ncc_vxm(y_true: jax.Array, y_pred: jax.Array, win: int = 9) -> jax.Array:
     """Local (windowed) normalized cross-correlation loss; returns -mean(cc).
 
@@ -52,7 +59,6 @@ def ncc_vxm(y_true: jax.Array, y_pred: jax.Array, win: int = 9) -> jax.Array:
     return -jnp.mean(cc)
 
 
-@functools.partial(jax.jit, static_argnames=("penalty",))
 def grad3d(flow: jax.Array, penalty: str = "l1", loss_mult: float | None = None) -> jax.Array:
     """Diffusion regularizer: mean |forward difference| (or squared) per axis.
 

@@ -20,8 +20,6 @@ positions, offset[t] = (od-1, oh-1, ow-1).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -34,7 +32,6 @@ def offset_grid(kernel_size: int = 3) -> np.ndarray:
     return np.stack([dd, hh, ww], axis=-1).reshape(-1, 3).astype(np.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "impl"))
 def neighborhood_attention_3d(
     q: jax.Array,
     k: jax.Array,
@@ -58,7 +55,8 @@ def neighborhood_attention_3d(
     if impl == "pallas":
         from smilecode_tpu.kernels.modet_attn import modet_attention_pallas
 
-        return modet_attention_pallas(q, k, rpb, scale)
+        interpret = jax.default_backend() != "tpu"
+        return modet_attention_pallas(q, k, rpb, scale, interpret)
     return _neighborhood_attention_xla(q, k, rpb, scale)
 
 
@@ -80,5 +78,9 @@ def _neighborhood_attention_xla(q, k, rpb, scale):
     attn = jnp.stack(logits, axis=-1)  # (B, D, H, W, heads, 27)
     attn = jax.nn.softmax(attn, axis=-1)
     offs = jnp.asarray(offset_grid(3), attn.dtype)  # (27, 3)
-    out = jnp.einsum("...t,tc->...c", attn, offs)  # (B, D, H, W, heads, 3)
+    # HIGHEST precision: the default lets the MXU run this contraction in
+    # bf16 (≈2.6e-3 error on TPU); offsets are exact small integers.
+    out = jnp.einsum(
+        "...t,tc->...c", attn, offs, precision=jax.lax.Precision.HIGHEST
+    )  # (B, D, H, W, heads, 3)
     return out.reshape(b, d, h, w, heads * 3)

@@ -6,15 +6,12 @@ Matches `VecInt` in the reference (`/root/reference/ModeT/models.py:70-87`):
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
 from smilecode_tpu.ops.warp import warp
 
 
-@functools.partial(jax.jit, static_argnames=("nsteps",))
 def vecint(vec: jax.Array, nsteps: int = 7) -> jax.Array:
     """Integrate a stationary velocity field (B, D, H, W, 3) into a flow."""
     if nsteps < 0:

@@ -11,8 +11,6 @@ lowers to cheap slices/gathers on TPU. Layout: channels-last (B, D, H, W, C).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -40,7 +38,6 @@ def _interp_axis(x: jax.Array, out_size: int, axis: int) -> jax.Array:
     return x0 * (1 - fr) + x1 * fr
 
 
-@functools.partial(jax.jit, static_argnames=("out_shape",))
 def interp_trilinear(x: jax.Array, out_shape: tuple[int, int, int]) -> jax.Array:
     """Trilinear resize (align_corners=True) of (B, D, H, W, C) to out_shape."""
     for axis, size in zip((1, 2, 3), out_shape):
@@ -54,7 +51,6 @@ def upsample2_trilinear(x: jax.Array) -> jax.Array:
     return interp_trilinear(x, (2 * d, 2 * h, 2 * w))
 
 
-@functools.partial(jax.jit, static_argnames=("factor",))
 def resize_flow(x: jax.Array, factor: float) -> jax.Array:
     """ResizeTransform parity: resize a flow field and rescale its magnitude.
 
@@ -73,21 +69,16 @@ def resize_flow(x: jax.Array, factor: float) -> jax.Array:
     return interp_trilinear(x, out_shape)
 
 
-@jax.jit
 def avg_pool2(x: jax.Array) -> jax.Array:
-    """AvgPool3d(kernel=2, stride=2) over (B, D, H, W, C)."""
-    summed = jax.lax.reduce_window(
-        x,
-        jnp.zeros((), x.dtype),
-        jax.lax.add,
-        window_dimensions=(1, 2, 2, 2, 1),
-        window_strides=(1, 2, 2, 2, 1),
-        padding="VALID",
-    )
-    return summed * jnp.asarray(0.125, x.dtype)
+    """AvgPool3d(kernel=2, stride=2) over (B, D, H, W, C).
+
+    Implemented as reshape + mean (exact for k=s=2, and differentiable —
+    reduce_window's autodiff is broken under jit in jax 0.9)."""
+    b, d, h, w, c = x.shape
+    x = x.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, c)
+    return x.mean(axis=(2, 4, 6))
 
 
-@jax.jit
 def upsample2_nearest(x: jax.Array) -> jax.Array:
     """2x nearest upsampling (torch Upsample mode='nearest' parity)."""
     b, d, h, w, c = x.shape

@@ -6,16 +6,18 @@ Semantics match the reference's torch implementation exactly
 zero padding outside the volume, with ``align_corners=True`` semantics.
 
 Note the reference normalizes to [-1, 1] and calls ``F.grid_sample`` with
-``align_corners=True``; that round trip is the identity on voxel coordinates,
-so we sample directly at ``grid + flow`` — no normalization needed.
+``align_corners=True``; that round trip is the identity on voxel coordinates
+when src and flow share a shape, so we sample directly at ``grid + flow``.
+When they differ (the reference exploits this: PR++ composes a 1/8-res flow
+through a 1/4-res field, `Baseline methods/PR++/models.py:337`), grid_sample's
+normalized coordinates imply ``src_coord = (grid + flow) *
+(src_size-1)/(flow_size-1)`` and the output takes the flow's spatial shape.
 
-Layout: channels-last. ``src``: (B, D, H, W, C); ``flow``: (B, D, H, W, 3)
+Layout: channels-last. ``src``: (B, D, H, W, C); ``flow``: (B, D', H', W', 3)
 with last axis = (dd, dh, dw) voxel displacements.
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -37,31 +39,42 @@ def _gather_volume(src_flat: jax.Array, lin_idx: jax.Array) -> jax.Array:
     return out.reshape(b, n, c)
 
 
-@functools.partial(jax.jit, static_argnames=("mode",))
 def warp(src: jax.Array, flow: jax.Array, mode: str = "bilinear") -> jax.Array:
     """Warp ``src`` by dense displacement ``flow`` (voxel units, channels-last).
 
     Args:
       src: (B, D, H, W, C) volume.
-      flow: (B, D, H, W, 3) displacement; flow[..., i] moves along spatial
-        axis i. The output at voxel p is src sampled at p + flow[p].
+      flow: (B, D', H', W', 3) displacement; flow[..., i] moves along spatial
+        axis i. Usually D'H'W' == DHW; if not, grid_sample normalized-coord
+        rescaling applies (see module docstring).
       mode: "bilinear" (trilinear) or "nearest".
 
     Returns:
-      (B, D, H, W, C), zeros where the sample location falls outside.
+      (B, D', H', W', C), zeros where the sample location falls outside.
     """
     if src.ndim != 5 or flow.ndim != 5 or flow.shape[-1] != 3:
         raise ValueError(f"warp expects NDHWC src and (...,3) flow, got {src.shape}, {flow.shape}")
-    b, d, h, w, c = src.shape
-    n = d * h * w
+    b, sd, sh, sw, c = src.shape
+    fd, fh, fw = flow.shape[1:4]
+    n = fd * fh * fw
     compute_dtype = jnp.promote_types(flow.dtype, jnp.float32)
-    coords = base_grid(d, h, w, compute_dtype) + flow.astype(compute_dtype)
+    coords = base_grid(fd, fh, fw, compute_dtype) + flow.astype(compute_dtype)
+    if (fd, fh, fw) != (sd, sh, sw):
+        scale = jnp.array(
+            [
+                (sd - 1) / max(fd - 1, 1),
+                (sh - 1) / max(fh - 1, 1),
+                (sw - 1) / max(fw - 1, 1),
+            ],
+            compute_dtype,
+        )
+        coords = coords * scale
     coords = coords.reshape(b, n, 3)
-    src_flat = src.reshape(b, n, c)
-    sizes = jnp.array([d, h, w], dtype=compute_dtype)
+    src_flat = src.reshape(b, sd * sh * sw, c)
+    sizes = jnp.array([sd, sh, sw], dtype=compute_dtype)
 
     def lin(idx_d, idx_h, idx_w):
-        return (idx_d * h + idx_h) * w + idx_w
+        return (idx_d * sh + idx_h) * sw + idx_w
 
     if mode == "nearest":
         # torch grid_sample 'nearest' rounds half-to-even (std::nearbyint).
@@ -70,7 +83,7 @@ def warp(src: jax.Array, flow: jax.Array, mode: str = "bilinear") -> jax.Array:
         idx = jnp.clip(idx, 0, sizes - 1).astype(jnp.int32)
         vals = _gather_volume(src_flat, lin(idx[..., 0], idx[..., 1], idx[..., 2]))
         out = jnp.where(inb[..., None], vals, jnp.zeros((), src.dtype))
-        return out.reshape(b, d, h, w, c)
+        return out.reshape(b, fd, fh, fw, c)
 
     if mode != "bilinear":
         raise ValueError(f"unsupported mode {mode!r}")
@@ -92,4 +105,4 @@ def warp(src: jax.Array, flow: jax.Array, mode: str = "bilinear") -> jax.Array:
                 )
                 vals = _gather_volume(src_flat, lin(idxi[..., 0], idxi[..., 1], idxi[..., 2]))
                 out = out + jnp.where(inb, wgt, 0.0)[..., None] * vals.astype(compute_dtype)
-    return out.reshape(b, d, h, w, c).astype(src.dtype)
+    return out.reshape(b, fd, fh, fw, c).astype(src.dtype)

@@ -1,0 +1,193 @@
+"""Training driver (the reference's 7 train.py clones, once).
+
+Protocol parity with `/root/reference/ModeT/train.py:42-176`:
+  * Adam(amsgrad, weight_decay=0), poly-0.9 per-epoch LR rounded to 8 dp
+  * loss = sum criterions[n](output[n], fixed) * weights[n]
+  * per-epoch validation: warp x_seg with the flow (nearest), Dice over the
+    54 VOI labels; checkpoint named ``dsc{:.3f}.ckpt``, rolling keep-8
+  * stdout tee to logs/<save_dir>/logfile.log + ``losses and dice.txt``
+
+TPU-native redesign: the whole step (fwd + loss + grad + optimizer update)
+is one donated jit; batches prefetch on host threads; with cfg.dp > 1 the
+batch is sharded over a ("data",) mesh and gradients are psum-reduced by XLA
+automatically (no NCCL/DDP equivalent needed).
+
+Usage: python -m smilecode_tpu.train train_dir=/data/Train val_dir=/data/Val
+"""
+
+from __future__ import annotations
+
+import functools
+import glob
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from smilecode_tpu.config import TrainConfig, apply_cli_overrides
+from smilecode_tpu.data import (
+    Compose,
+    Loader,
+    LPBABrainDatasetS2S,
+    LPBABrainInferDatasetS2S,
+    NumpyType,
+    Seg_norm,
+)
+from smilecode_tpu.metrics import dice_val_voi
+from smilecode_tpu.models.registry import build_model, CRITERIA
+from smilecode_tpu.ops.warp import warp
+from smilecode_tpu.parallel.mesh import make_mesh, shard_batch
+from smilecode_tpu.utils import AverageMeter, Logger, MetricsWriter, save_checkpoint
+from smilecode_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
+
+
+def poly_lr(epoch: int, max_epoch: int, init_lr: float, power: float = 0.9) -> float:
+    """`adjust_learning_rate` parity (`ModeT/train.py:166-168`)."""
+    return round(init_lr * np.power(1 - epoch / max_epoch, power), 8)
+
+
+def make_train_step(spec, tx, weights):
+    criterions = [CRITERIA[c] for c in spec.criterions]
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, x, y):
+        def loss_fn(p):
+            outs = spec.module.apply(p, x, y)
+            outs = spec.select_train_outputs(outs)
+            losses = [
+                crit(outs[n], y) * w for n, (crit, w) in enumerate(zip(criterions, weights))
+            ]
+            return sum(losses), tuple(losses)
+
+        (loss, loss_vals), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, loss_vals
+
+    return step
+
+
+def make_eval_step(spec):
+    @jax.jit
+    def eval_step(params, x, y, x_seg, y_seg):
+        outs = spec.module.apply(params, x, y)
+        flow = outs[1]
+        warped_seg = warp(x_seg.astype(jnp.float32), flow, mode="nearest")
+        return dice_val_voi(warped_seg.astype(jnp.int32), y_seg.astype(jnp.int32)), flow
+
+    return eval_step
+
+
+def main(cfg: TrainConfig):
+    log_dir = os.path.join(cfg.log_root, cfg.save_dir)
+    exp_dir = os.path.join(cfg.save_root, cfg.save_dir)
+    os.makedirs(exp_dir, exist_ok=True)
+    sys.stdout = Logger(log_dir)
+    metrics = MetricsWriter(log_dir)
+    f = open(os.path.join(log_dir, "losses and dice.txt"), "a")
+
+    spec = build_model(cfg.model, cfg)
+    mesh = make_mesh(cfg.dp)
+
+    rng = jax.random.PRNGKey(cfg.seed)
+    d, h, w = cfg.img_size
+    dummy = jnp.zeros((1, d, h, w, 1), jnp.float32)
+    params = spec.module.init(rng, dummy, dummy)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"model {cfg.model}: {n_params:,} params; devices: {jax.devices()}")
+
+    tx = optax.inject_hyperparams(
+        lambda learning_rate: optax.amsgrad(learning_rate=learning_rate)
+    )(learning_rate=cfg.lr)
+    opt_state = tx.init(params)
+
+    epoch_start = cfg.epoch_start
+    best_dsc = 0.0
+    if cfg.cont_training:
+        ckpt = latest_checkpoint(exp_dir)
+        if ckpt:
+            state = load_checkpoint(ckpt)
+            params = jax.tree.map(jnp.asarray, state["params"])
+            opt_state = jax.tree.map(jnp.asarray, state.get("opt_state", opt_state))
+            epoch_start = state.get("epoch", 0)
+            best_dsc = state.get("best_dsc", 0.0)
+            print(f"resumed from {ckpt} at epoch {epoch_start}")
+
+    train_composed = Compose([NumpyType((np.float32, np.float32))])
+    val_composed = Compose([Seg_norm(), NumpyType((np.float32, np.int16))])
+    train_set = LPBABrainDatasetS2S(
+        sorted(glob.glob(os.path.join(cfg.train_dir, "*.pkl"))), transforms=train_composed
+    )
+    val_set = LPBABrainInferDatasetS2S(
+        sorted(glob.glob(os.path.join(cfg.val_dir, "*.pkl"))), transforms=val_composed
+    )
+    train_loader = Loader(
+        train_set, batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed,
+        num_workers=cfg.num_workers,
+    )
+    val_loader = Loader(val_set, batch_size=1, shuffle=False, num_workers=cfg.num_workers,
+                        drop_last=True)
+
+    train_step = make_train_step(spec, tx, list(cfg.weights))
+    eval_step = make_eval_step(spec)
+
+    for epoch in range(epoch_start, cfg.max_epoch):
+        print("Training Starts")
+        loss_all = AverageMeter()
+        lr_now = poly_lr(epoch, cfg.max_epoch, cfg.lr)
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(lr_now, jnp.float32)
+        t_epoch = time.time()
+        for idx, batch in enumerate(train_loader, 1):
+            x, y = batch[0], batch[1]
+            if mesh is not None:
+                x, y = shard_batch(mesh, (x, y))
+            t0 = time.time()
+            params, opt_state, loss, loss_vals = train_step(params, opt_state, x, y)
+            loss = float(loss)
+            loss_all.update(loss, int(np.prod(y.shape)))
+            step_ms = (time.time() - t0) * 1000
+            print(
+                "Iter {} of {} loss {:.4f}, Img Sim: {:.6f}, Reg: {:.6f}".format(
+                    idx, len(train_loader), loss, float(loss_vals[0]), float(loss_vals[1])
+                )
+            )
+            metrics.write(
+                epoch=epoch, iter=idx, loss=loss,
+                sim=float(loss_vals[0]), reg=float(loss_vals[1]),
+                lr=lr_now, step_ms=step_ms,
+            )
+        print("{} Epoch {} loss {:.4f}".format(cfg.save_dir, epoch, loss_all.avg))
+        print("Epoch {} loss {:.4f}".format(epoch, loss_all.avg), file=f, end=" ")
+
+        eval_dsc = AverageMeter()
+        for batch in val_loader:
+            x, y, x_seg, y_seg = batch
+            dsc, _ = eval_step(params, x, y, x_seg, y_seg)
+            eval_dsc.update(float(dsc), x.shape[0])
+            print(epoch, ":", eval_dsc.avg)
+        best_dsc = max(eval_dsc.avg, best_dsc)
+        print(eval_dsc.avg, file=f)
+        metrics.write(epoch=epoch, val_dice=eval_dsc.avg, best_dice=best_dsc,
+                      epoch_s=time.time() - t_epoch)
+        save_checkpoint(
+            {
+                "epoch": epoch + 1,
+                "params": params,
+                "best_dsc": best_dsc,
+                "opt_state": opt_state,
+                "config": cfg.__dict__,
+            },
+            save_dir=exp_dir,
+            filename="dsc{:.3f}.ckpt".format(eval_dsc.avg),
+            max_keep=cfg.max_keep,
+        )
+        loss_all.reset()
+    return best_dsc
+
+
+if __name__ == "__main__":
+    main(apply_cli_overrides(TrainConfig(), sys.argv[1:]))

@@ -1,20 +1,17 @@
 """Test config: run JAX on CPU with 8 virtual devices so multi-chip sharding
 paths (pjit/shard_map over a Mesh) are exercised without TPU hardware.
 
-Note: a pytest plugin in this image imports jax before conftest runs, so the
-env vars alone are too late — we also update jax.config directly (safe as long
-as no backend has been initialized yet, which pytest's import does not do).
+Two environment quirks force the config.update route (env vars do NOT work):
+  * a pytest plugin in this image imports jax before conftest runs;
+  * the axon sitecustomize pins JAX_PLATFORMS to the TPU tunnel for every
+    python process, overriding shell env assignments.
 """
 
 import os
-import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"  # harmless; the config updates below rule
 
-if "jax" in sys.modules:
-    import jax
+import jax
 
-    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
