@@ -130,3 +130,44 @@ class TestGrid:
         g = np.asarray(base_grid(2, 3, 4))
         assert g.shape == (2, 3, 4, 3)
         assert g[1, 2, 3].tolist() == [1.0, 2.0, 3.0]
+
+
+class TestWarpPacked:
+    """The packed row-gather fast path must match the simple oracle."""
+
+    @pytest.mark.parametrize("c", [1, 3, 8, 20])
+    def test_matches_simple(self, c):
+        from smilecode_tpu.ops.warp import _warp_simple
+
+        src = RNG.standard_normal((2, 7, 8, 9, c)).astype(np.float32)
+        flow = (RNG.standard_normal((2, 7, 8, 9, 3)) * 3).astype(np.float32)
+        fast = np.asarray(warp(jnp.asarray(src), jnp.asarray(flow), impl="packed"))
+        ref = np.asarray(_warp_simple(jnp.asarray(src), jnp.asarray(flow)))
+        np.testing.assert_allclose(fast, ref, atol=1e-5, rtol=1e-5)
+
+    def test_mismatched_shapes(self):
+        from smilecode_tpu.ops.warp import _warp_simple
+
+        src = RNG.standard_normal((1, 6, 6, 6, 2)).astype(np.float32)
+        flow = (RNG.standard_normal((1, 12, 12, 12, 3)) * 2).astype(np.float32)
+        fast = np.asarray(warp(jnp.asarray(src), jnp.asarray(flow), impl="packed"))
+        ref = np.asarray(_warp_simple(jnp.asarray(src), jnp.asarray(flow)))
+        assert fast.shape == (1, 12, 12, 12, 2)
+        np.testing.assert_allclose(fast, ref, atol=1e-5, rtol=1e-5)
+
+    def test_far_oob(self):
+        src = np.ones((1, 5, 5, 5, 1), np.float32)
+        flow = np.full((1, 5, 5, 5, 3), 50.0, np.float32)
+        out = np.asarray(warp(jnp.asarray(src), jnp.asarray(flow), impl="packed"))
+        np.testing.assert_allclose(out, 0.0)
+
+    def test_grad_matches_simple(self):
+        import jax
+
+        from smilecode_tpu.ops.warp import _warp_simple
+
+        src = jnp.asarray(RNG.standard_normal((1, 5, 6, 5, 2)).astype(np.float32))
+        flow = jnp.asarray((RNG.standard_normal((1, 5, 6, 5, 3)) * 0.7).astype(np.float32))
+        g1 = jax.grad(lambda f: jnp.sum(warp(src, f, impl="packed") ** 2))(flow)
+        g2 = jax.grad(lambda f: jnp.sum(_warp_simple(src, f) ** 2))(flow)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=1e-4)
