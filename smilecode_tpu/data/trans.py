@@ -54,11 +54,11 @@ class Seg_norm(Base):
     def tf(self, img, k=0):
         if k == 0:
             return img
-        # vectorized inverse-table lookup (reference loops over the table)
-        img_out = np.zeros_like(img)
-        for i, lbl in enumerate(self.seg_table):
-            img_out[img == lbl] = i
-        return img_out
+        # single-pass native LUT remap when available (55x fewer volume
+        # passes than the reference's per-label loop); numpy fallback inside
+        from smilecode_tpu import native
+
+        return native.seg_remap(img, self.seg_table)
 
 
 class NumpyType(Base):
