@@ -39,10 +39,12 @@ def main():
     params = model.init(jax.random.PRNGKey(0), movings[0], fixed)
 
     @jax.jit
-    def rep(fixed, *movs):
+    def rep(params, fixed, *movs):
         acc = jnp.zeros((), jnp.float32)
         for m in movs:
-            moved, flow = model.apply(params, m, fixed)
+            # acc*0 dependency serializes the K forwards (otherwise XLA
+            # interleaves them and peak HBM is K x a single forward)
+            moved, flow = model.apply(params, m + acc * 0, fixed)
             acc = acc + jnp.sum(moved) + jnp.sum(flow[0, 0, 0])
         return acc
 
@@ -51,7 +53,7 @@ def main():
         return x * 1.0000001
 
     # warmups (compile)
-    float(rep(fixed, *movings))
+    float(rep(params, fixed, *movings))
     float(trivial(movings[0]).sum())
 
     overhead = []
@@ -64,7 +66,7 @@ def main():
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(rep(fixed, *movings))
+        float(rep(params, fixed, *movings))
         times.append((time.perf_counter() - t0) * 1000)
     per_pair = (float(np.median(times)) - oh) / K
     print(json.dumps({

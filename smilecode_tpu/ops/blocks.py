@@ -47,6 +47,24 @@ def leaky_relu(x: jax.Array, alpha: float = 0.1) -> jax.Array:
     return jnp.where(x >= 0, x, alpha * x)
 
 
+# conv implementation policy: "auto" uses the space-to-depth reformulation
+# on TPU for SAME 3^3 stride-1 convs with tiny channels (v5e conv lowering
+# pads e.g. C=8 intermediates 16x in HBM); "direct"/"s2d" force a choice.
+CONV_IMPL = "auto"
+
+
+def _use_s2d(x, k, stride, padding, cin) -> bool:
+    if CONV_IMPL == "direct":
+        return False
+    if k != 3 or stride != 1 or padding != 1 or cin > 16:
+        return False
+    if any(s % 2 for s in x.shape[1:4]):
+        return False
+    if CONV_IMPL == "s2d":
+        return True
+    return jax.default_backend() == "tpu"
+
+
 class Conv3d(nn.Module):
     """3D conv on NDHWC with torch-default init and explicit padding."""
 
@@ -65,6 +83,14 @@ class Conv3d(nn.Module):
         fan_in = in_ch * k ** 3
         kinit = self.kernel_init or torch_uniform_init(fan_in)
         kernel = self.param("kernel", kinit, (k, k, k, in_ch, self.features))
+        bias = None
+        if self.use_bias:
+            binit = self.bias_init or torch_uniform_init(fan_in)
+            bias = self.param("bias", binit, (self.features,))
+        if _use_s2d(x, k, self.stride, self.padding, in_ch):
+            from smilecode_tpu.ops.conv_s2d import conv3d_s2d
+
+            return conv3d_s2d(x, kernel, bias)
         y = jax.lax.conv_general_dilated(
             x,
             kernel.astype(x.dtype),
@@ -72,9 +98,7 @@ class Conv3d(nn.Module):
             padding=[(self.padding, self.padding)] * 3,
             dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
         )
-        if self.use_bias:
-            binit = self.bias_init or torch_uniform_init(fan_in)
-            bias = self.param("bias", binit, (self.features,))
+        if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
 

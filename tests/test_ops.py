@@ -171,3 +171,23 @@ class TestWarpPacked:
         g1 = jax.grad(lambda f: jnp.sum(warp(src, f, impl="packed") ** 2))(flow)
         g2 = jax.grad(lambda f: jnp.sum(_warp_simple(src, f) ** 2))(flow)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=1e-4)
+
+
+class TestConvS2D:
+    """Space-to-depth conv must equal the direct SAME conv."""
+
+    @pytest.mark.parametrize("cin,cout", [(1, 4), (8, 8), (3, 6)])
+    def test_matches_direct(self, cin, cout):
+        import jax
+
+        from smilecode_tpu.ops.conv_s2d import conv3d_s2d
+
+        x = jnp.asarray(RNG.standard_normal((2, 8, 10, 12, cin)).astype(np.float32))
+        k = jnp.asarray(RNG.standard_normal((3, 3, 3, cin, cout)).astype(np.float32) * 0.2)
+        b = jnp.asarray(RNG.standard_normal((cout,)).astype(np.float32))
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1, 1), [(1, 1)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        ) + b
+        out = conv3d_s2d(x, k, b)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)

@@ -1,0 +1,73 @@
+"""Pallas fused attention kernel vs the XLA oracle (interpret mode on CPU).
+
+On the real TPU the compiled kernel matches a float64 numpy reference to
+~1e-6 (verified on-chip in round 1); here the interpreter validates the same
+kernel logic hardware-independently.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from smilecode_tpu.kernels.modet_attn import modet_attention_pallas
+from smilecode_tpu.ops.attention import _neighborhood_attention_xla
+
+RNG = np.random.default_rng(14)
+
+
+@pytest.mark.parametrize(
+    "shape,heads,scale",
+    [((6, 8, 6), 2, 1.0), ((10, 12, 10), 8, 1.0), ((5, 6, 5), 1, 0.408)],
+)
+def test_kernel_matches_oracle(shape, heads, scale):
+    d, h, w = shape
+    hd = 6
+    q = jnp.asarray(RNG.standard_normal((1, d, h, w, heads, hd)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((1, d, h, w, heads, hd)).astype(np.float32))
+    rpb = jnp.asarray((RNG.standard_normal((heads, 3, 3, 3)) * 0.1).astype(np.float32))
+    out = modet_attention_pallas(q, k, rpb, scale, True)  # interpret=True
+    ref = _neighborhood_attention_xla(q, k, rpb, scale)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-4)
+
+
+def test_kernel_no_rpb():
+    q = jnp.asarray(RNG.standard_normal((1, 4, 8, 4, 2, 6)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((1, 4, 8, 4, 2, 6)).astype(np.float32))
+    out = modet_attention_pallas(q, k, None, 1.0, True)
+    ref = _neighborhood_attention_xla(q, k, None, 1.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-4)
+
+
+def test_kernel_grads_match_oracle():
+    q = jnp.asarray(RNG.standard_normal((1, 4, 8, 4, 1, 6)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((1, 4, 8, 4, 1, 6)).astype(np.float32))
+    rpb = jnp.zeros((1, 3, 3, 3))
+
+    def loss_pallas(q, k, r):
+        return jnp.sum(modet_attention_pallas(q, k, r, 1.0, True) ** 2)
+
+    def loss_oracle(q, k, r):
+        return jnp.sum(_neighborhood_attention_xla(q, k, r, 1.0) ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, rpb)
+    g2 = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, rpb)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+
+def test_modet_with_pallas_impl_interpret():
+    """Full ModeT with attn_impl='pallas' (interpreted) matches 'xla'."""
+    from smilecode_tpu.models import ModeT
+
+    shape = (16, 16, 16)
+    m = jnp.asarray(RNG.random((1, *shape, 1), dtype=np.float64).astype(np.float32))
+    f = jnp.asarray(RNG.random((1, *shape, 1), dtype=np.float64).astype(np.float32))
+    model_x = ModeT(qk_scale=1.0, attn_impl="xla")
+    model_p = ModeT(qk_scale=1.0, attn_impl="pallas")
+    params = model_x.init(jax.random.PRNGKey(0), m, f)
+    mx, fx = model_x.apply(params, m, f)
+    mp, fp = model_p.apply(params, m, f)
+    np.testing.assert_allclose(np.asarray(mp), np.asarray(mx), atol=1e-4, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(fp), np.asarray(fx), atol=1e-4, rtol=1e-3)
