@@ -31,21 +31,20 @@ def main():
 
     model = ModeT(qk_scale=1.0)
     rng = np.random.default_rng(0)
-    movings = [
-        jnp.asarray(rng.random((1, *SHAPE, 1), dtype=np.float64).astype(np.float32))
-        for _ in range(K)
-    ]
+    movings = jnp.asarray(rng.random((K, 1, *SHAPE, 1), dtype=np.float64).astype(np.float32))
     fixed = jnp.asarray(rng.random((1, *SHAPE, 1), dtype=np.float64).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), movings[0], fixed)
 
     @jax.jit
-    def rep(params, fixed, *movs):
-        acc = jnp.zeros((), jnp.float32)
-        for m in movs:
-            # acc*0 dependency serializes the K forwards (otherwise XLA
-            # interleaves them and peak HBM is K x a single forward)
+    def rep(params, fixed, movs):
+        # scan: the forward compiles ONCE (unrolled repeats explode compile
+        # time here) and the carry serializes iterations (XLA interleaving
+        # of independent forwards stacked intermediates to an HBM OOM)
+        def body(acc, m):
             moved, flow = model.apply(params, m + acc * 0, fixed)
-            acc = acc + jnp.sum(moved) + jnp.sum(flow[0, 0, 0])
+            return acc + jnp.sum(moved) + jnp.sum(flow[0, 0, 0]), ()
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), movs)
         return acc
 
     @jax.jit
@@ -53,7 +52,7 @@ def main():
         return x * 1.0000001
 
     # warmups (compile)
-    float(rep(params, fixed, *movings))
+    float(rep(params, fixed, movings))
     float(trivial(movings[0]).sum())
 
     overhead = []
@@ -66,7 +65,7 @@ def main():
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        float(rep(params, fixed, *movings))
+        float(rep(params, fixed, movings))
         times.append((time.perf_counter() - t0) * 1000)
     per_pair = (float(np.median(times)) - oh) / K
     print(json.dumps({

@@ -33,7 +33,11 @@ class TrainConfig:
     log_root: str = "logs"
     max_keep: int = 8
     num_workers: int = 4
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
+    # dataset variant: "s2s" (all ordered pairs), "half" (stride-2
+    # downsampled pairs), "atlas" (register every subject to one atlas)
+    dataset: str = "s2s"
+    atlas_path: str = ""
     # parallelism: number of data-parallel devices (1 = single chip)
     dp: int = 1
 
@@ -60,7 +64,7 @@ class InferConfig:
     channels: int = 4
     qk_scale: float | None = 1.0
     img_size: Sequence[int] = (160, 192, 160)
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
 
 def apply_cli_overrides(cfg, argv: list[str]):

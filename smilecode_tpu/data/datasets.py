@@ -45,7 +45,9 @@ class _PairDataset:
     def _load(self, path):
         img, seg = pkload(path)
         if self.half:
-            img, seg = img[::2, ::2, ::2], seg[::2, ::2, ::2]
+            from smilecode_tpu import native
+
+            img, seg = native.halfres(img), native.halfres(seg)
         return img, seg
 
 

@@ -1,0 +1,248 @@
+"""Pallas TPU kernel: trilinear 3D warp via windowed DMA + candidate loops.
+
+Rationale (measured on v5e): XLA lowers element gathers to ~8 cycles/element
+scalar loops; even the row-gather reformulation (`ops/warp.py` packed path)
+is bound by ~29 GB/s random 512B row reads (92-190 ms per full-res warp).
+Registration flows are smooth, so one output tile reads from a small source
+window: this kernel DMAs, per (d-slab, 8-row block, channel), a static
+(KD=8, KHA=40, W) window whose offset comes from the tile's min cell index,
+then accumulates trilinear contributions by looping over the tile's actual
+(rd, rh) candidate ranges (dynamic fori loops, typically ~3 x ~11 iters)
+with 128-lane shuffles for the W interpolation.
+
+Semantics match `ops.warp._warp_simple` (grid_sample align_corners=True,
+zeros padding) EXCEPT when the flow's (d, h) variation within one output
+tile (1 x 8 x W voxels) exceeds the window budget (d-cell spread > KD-2 or
+h-cell spread > ~KHA-10): those cells clamp to the window edge. Composed
+registration fields vary far less per tile; `warp_window_violations` reports
+the violating-tile fraction for validation runs. W displacement is
+UNBOUNDED (the window spans full W rows).
+
+Backward: custom VJP recomputing through the packed row-gather warp
+(correct, slower — training-path kernel is future work).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+KD = 24   # window depth slabs (d-cell spread budget = KD-2)
+KHA = 48  # window rows, multiple of 8 (h spread budget ~ KHA-2-8)
+HB = 8    # output rows per tile
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _warp_kernel(c: int, sd: int, sh: int, sw: int,
+                 sdp: int, shp: int, swp: int, fwp: int, kd_n: int, kha_n: int,
+                 cd_ref, ch_ref, cw_ref, src_hbm, o_ref, win, sem):
+    bc = pl.program_id(0)
+
+    cdv = cd_ref[0, 0]  # (HB, FWp) f32 absolute sample coords
+    chv = ch_ref[0, 0]
+    cwv = cw_ref[0, 0]
+
+    fd0 = jnp.floor(cdv)
+    fh0 = jnp.floor(chv)
+    fw0 = jnp.floor(cwv)
+    td = cdv - fd0
+    th = chv - fh0
+    tw = cwv - fw0
+    # cell indices into the padded source (+1 leading pad); pad zeros
+    # implement grid_sample's zero padding, so no weight masking is needed
+    celld = jnp.clip(fd0, -1.0, float(sd)).astype(jnp.int32) + 1
+    cellh = jnp.clip(fh0, -1.0, float(sh)).astype(jnp.int32) + 1
+    cellw = jnp.clip(fw0, -1.0, float(sw)).astype(jnp.int32) + 1
+
+    dmin = jnp.clip(jnp.min(celld), 0, sdp - kd_n)
+    hmin = jnp.clip((jnp.min(cellh) // 8) * 8, 0, shp - kha_n)
+    hmin = pl.multiple_of(hmin, 8)  # Mosaic cannot prove it through the clip
+
+    cp = pltpu.make_async_copy(
+        src_hbm.at[bc, pl.ds(dmin, kd_n), pl.ds(hmin, kha_n), :],
+        win,
+        sem,
+    )
+    cp.start()
+    cp.wait()
+
+    rd = jnp.clip(celld - dmin, 0, kd_n - 2)
+    rh = jnp.clip(cellh - hmin, 0, kha_n - 2)
+
+    # OOB corners get zero weight (grid_sample zeros padding); computed from
+    # UNCLIPPED floors — clipping the cell would otherwise alias far-OOB
+    # corners onto real voxels
+    wd0 = (1.0 - td) * ((fd0 >= 0) & (fd0 <= sd - 1))
+    wd1 = td * ((fd0 + 1 >= 0) & (fd0 + 1 <= sd - 1))
+    wh0 = (1.0 - th) * ((fh0 >= 0) & (fh0 <= sh - 1))
+    wh1 = th * ((fh0 + 1 >= 0) & (fh0 + 1 <= sh - 1))
+    tw0 = (1.0 - tw) * ((fw0 >= 0) & (fw0 <= sw - 1))
+    tw1 = tw * ((fw0 + 1 >= 0) & (fw0 + 1 <= sw - 1))
+
+    ns = swp // 128  # source row chunks
+    no = fwp // 128  # output lane chunks
+
+    def pick(rowb, idx):
+        """rowb (HB, SWp); per-element rowb[., idx] -> (HB, FWp)."""
+        res = jnp.zeros((HB, fwp), jnp.float32)
+        for ci in range(ns):
+            chunk = rowb[:, ci * 128:(ci + 1) * 128]
+            rel = jnp.clip(idx - ci * 128, 0, 127)
+            got = jnp.concatenate(
+                [
+                    jnp.take_along_axis(chunk, rel[:, oj * 128:(oj + 1) * 128], axis=1)
+                    for oj in range(no)
+                ],
+                axis=1,
+            )
+            res = jnp.where((idx >= ci * 128) & (idx < (ci + 1) * 128), got, res)
+        return res
+
+    def rd_body(rd_c, acc):
+        wgt_d = jnp.where(rd == rd_c, wd0, 0.0) + jnp.where(rd + 1 == rd_c, wd1, 0.0)
+
+        def rh_body(rh_c, acc):
+            wgt = wgt_d * (
+                jnp.where(rh == rh_c, wh0, 0.0) + jnp.where(rh + 1 == rh_c, wh1, 0.0)
+            )
+            # read an ALIGNED 8-row block and replicate row (rh_c % 8) to all
+            # sublanes via a sublane shuffle (Mosaic cannot broadcast a row
+            # loaded at a dynamic sublane offset)
+            block = win[rd_c, pl.ds((rh_c // 8) * 8, 8), :]  # (8, SWp)
+            sub_idx = jnp.full((HB, 128), rh_c % 8, jnp.int32)
+            rowb = jnp.concatenate(
+                [
+                    jnp.take_along_axis(
+                        block[:, ci * 128:(ci + 1) * 128], sub_idx, axis=0
+                    )
+                    for ci in range(ns)
+                ],
+                axis=1,
+            )
+            v0 = pick(rowb, cellw)
+            v1 = pick(rowb, cellw + 1)
+            return acc + wgt * (v0 * tw0 + v1 * tw1)
+
+        rhmin = jnp.min(rh)
+        rhmax = jnp.max(rh)
+        return jax.lax.fori_loop(rhmin, rhmax + 2, rh_body, acc)
+
+    rdmin = jnp.min(rd)
+    rdmax = jnp.max(rd)
+    acc = jax.lax.fori_loop(
+        rdmin, rdmax + 2, rd_body, jnp.zeros((HB, fwp), jnp.float32)
+    )
+    o_ref[0, 0] = acc
+
+
+def _prep_coords(src_shape, flow):
+    from smilecode_tpu.ops.warp import base_grid
+
+    b = flow.shape[0]
+    sd, sh, sw = src_shape
+    fd, fh, fw = flow.shape[1:4]
+    coords = base_grid(fd, fh, fw, jnp.float32) + flow.astype(jnp.float32)
+    if (fd, fh, fw) != (sd, sh, sw):
+        scale = jnp.array(
+            [(sd - 1) / max(fd - 1, 1), (sh - 1) / max(fh - 1, 1), (sw - 1) / max(fw - 1, 1)],
+            jnp.float32,
+        )
+        coords = coords * scale
+    return coords  # (B, FD, FH, FW, 3)
+
+
+def _forward(src, flow, interpret=False):
+    b, sd, sh, sw, c = src.shape
+    fd, fh, fw = flow.shape[1:4]
+    coords = _prep_coords((sd, sh, sw), flow)
+
+    fhp = _round_up(fh, HB)
+    fwp = _round_up(fw, 128)
+    pads = ((0, 0), (0, 0), (0, fhp - fh), (0, fwp - fw))
+    # edge padding: pad lanes must not distort the tile min/max cell indices
+    cd = jnp.pad(coords[..., 0], pads, mode="edge")
+    ch = jnp.pad(coords[..., 1], pads, mode="edge")
+    cw = jnp.pad(coords[..., 2], pads, mode="edge")
+
+    sdp = sd + 3
+    shp = _round_up(sh + 3, 8)
+    swp = _round_up(sw + 3, 128)
+    planes = src.astype(jnp.float32).transpose(0, 4, 1, 2, 3).reshape(b * c, sd, sh, sw)
+    planes = jnp.pad(planes, ((0, 0), (1, 2), (1, shp - sh - 1), (1, swp - sw - 1)))
+
+    kd_n = min(KD, sdp)
+    kha_n = min(KHA, shp)
+    kernel = functools.partial(
+        _warp_kernel, c, sd, sh, sw, sdp, shp, swp, fwp, kd_n, kha_n
+    )
+    coord_spec = pl.BlockSpec(
+        (1, 1, HB, fwp), lambda bc, d, hb: (bc // c, d, hb, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * c, fd, fhp // HB),
+        in_specs=[
+            coord_spec, coord_spec, coord_spec,
+            pl.BlockSpec(memory_space=pltpu.ANY),  # src planes in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, HB, fwp), lambda bc, d, hb: (bc, d, hb, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * c, fd, fhp, fwp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((kd_n, kha_n, swp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(cd, ch, cw, planes)
+
+    out = out[:, :, :fh, :fw].reshape(b, c, fd, fh, fw).transpose(0, 2, 3, 4, 1)
+    return out.astype(src.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def warp3d_pallas(src, flow, interpret: bool = False):
+    """Trilinear warp; same contract as ops.warp (bilinear) minus the
+    windowed (d, h) locality assumption documented in the module docstring."""
+    return _forward(src, flow, interpret)
+
+
+def _fwd(src, flow, interpret):
+    return _forward(src, flow, interpret), (src, flow)
+
+
+def _bwd(interpret, res, g):
+    from smilecode_tpu.ops.warp import _warp_bilinear_packed
+
+    src, flow = res
+    _, vjp = jax.vjp(_warp_bilinear_packed, src, flow)
+    return vjp(g)
+
+
+warp3d_pallas.defvjp(_fwd, _bwd)
+
+
+def warp_window_violations(flow, src_shape=None):
+    """Fraction of (1, HB, W) tiles whose (d, h) cell spread exceeds the
+    kernel's window budget (those cells clamp). Use in validation runs."""
+    b, fd, fh, fw, _ = flow.shape
+    coords = _prep_coords(src_shape or (fd, fh, fw), flow)
+    celld = jnp.floor(coords[..., 0])
+    cellh = jnp.floor(coords[..., 1])
+    fhp = _round_up(fh, HB)
+    celld = jnp.pad(celld, ((0, 0), (0, 0), (0, fhp - fh), (0, 0)), mode="edge")
+    cellh = jnp.pad(cellh, ((0, 0), (0, 0), (0, fhp - fh), (0, 0)), mode="edge")
+    celld = celld.reshape(b, fd, fhp // HB, HB * fw)
+    cellh = cellh.reshape(b, fd, fhp // HB, HB * fw)
+    d_spread = jnp.max(celld, -1) - jnp.min(celld, -1)
+    h_spread = jnp.max(cellh, -1) - jnp.min(cellh, -1)
+    bad = (d_spread > KD - 2) | (h_spread > KHA - 10)
+    return jnp.mean(bad.astype(jnp.float32))

@@ -115,7 +115,7 @@ class ModeTransformer(nn.Module):
     num_heads: int
     qk_scale: float | None = None
     use_rpb: bool = True
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, q, k):
@@ -140,7 +140,7 @@ class ModeT(nn.Module):
     head_dim: int = 6
     num_heads: Sequence[int] = (8, 4, 2, 1, 1)
     qk_scale: float | None = None  # reference trains with scale=1
-    attn_impl: str = "xla"
+    attn_impl: str = "auto"
 
     @nn.compact
     def __call__(self, moving, fixed):

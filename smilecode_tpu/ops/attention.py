@@ -37,7 +37,7 @@ def neighborhood_attention_3d(
     k: jax.Array,
     rpb: jax.Array | None,
     scale: float = 1.0,
-    impl: str = "xla",
+    impl: str = "auto",
 ) -> jax.Array:
     """Fused neighborhood attention -> deformation subfields.
 
@@ -52,6 +52,9 @@ def neighborhood_attention_3d(
     Returns:
       (B, D, H, W, heads*3) subfields, channel order head-major then (d,h,w).
     """
+    if impl == "auto":
+        # measured on v5e at full res: pallas 6.9 ms vs xla 26 ms
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         from smilecode_tpu.kernels.modet_attn import modet_attention_pallas
 

@@ -47,9 +47,11 @@ def leaky_relu(x: jax.Array, alpha: float = 0.1) -> jax.Array:
     return jnp.where(x >= 0, x, alpha * x)
 
 
-# conv implementation policy: "auto" uses the space-to-depth reformulation
-# on TPU for SAME 3^3 stride-1 convs with tiny channels (v5e conv lowering
-# pads e.g. C=8 intermediates 16x in HBM); "direct"/"s2d" force a choice.
+# conv implementation policy. "s2d" (space-to-depth, ops/conv_s2d.py) looked
+# promising on paper but measured 2.4x SLOWER than direct at LPBA shapes on
+# v5e (8.3 vs 20.4 ms for 4->8 at 160x192x160) — the reshuffles cost more
+# than the MXU lane-utilization gain. "auto" therefore means direct for now;
+# "s2d" remains selectable for other workloads.
 CONV_IMPL = "auto"
 
 
@@ -62,7 +64,7 @@ def _use_s2d(x, k, stride, padding, cin) -> bool:
         return False
     if CONV_IMPL == "s2d":
         return True
-    return jax.default_backend() == "tpu"
+    return False  # "auto" currently means direct (see note above)
 
 
 class Conv3d(nn.Module):

@@ -167,16 +167,31 @@ def warp(src: jax.Array, flow: jax.Array, mode: str = "bilinear", impl: str = "a
         rescaling applies (see module docstring).
       mode: "bilinear" (trilinear) or "nearest".
       impl: "auto" (packed row-gather for bilinear — TPU fast path),
-        "packed", or "simple" (naive 8-corner gather; the reference oracle).
+        "packed", "simple" (naive 8-corner gather; the reference oracle), or
+        "pallas" (windowed-DMA kernel, fastest for SMOOTH flows but clamps
+        tiles whose (d,h) spread exceeds its window — see kernels/warp3d.py).
 
     Returns:
       (B, D', H', W', C), zeros where the sample location falls outside.
     """
     if src.ndim != 5 or flow.ndim != 5 or flow.shape[-1] != 3:
         raise ValueError(f"warp expects NDHWC src and (...,3) flow, got {src.shape}, {flow.shape}")
+    if impl == "auto":
+        impl = WARP_IMPL
+    if mode == "bilinear" and impl == "pallas":
+        import jax as _jax
+
+        from smilecode_tpu.kernels.warp3d import warp3d_pallas
+
+        return warp3d_pallas(src, flow, _jax.default_backend() != "tpu")
     if mode == "bilinear" and impl in ("auto", "packed"):
         return _warp_bilinear_packed(src, flow)
     return _warp_simple(src, flow, mode)
+
+
+# process-wide default for impl="auto": "packed" is exact for any flow;
+# "pallas" is faster for smooth flows but clamps beyond its window budget
+WARP_IMPL = "packed"
 
 
 def _warp_simple(src: jax.Array, flow: jax.Array, mode: str = "bilinear") -> jax.Array:

@@ -32,7 +32,11 @@ from smilecode_tpu.config import TrainConfig, apply_cli_overrides
 from smilecode_tpu.data import (
     Compose,
     Loader,
+    LPBABrainAtlasDataset,
+    LPBABrainAtlasInferDataset,
     LPBABrainDatasetS2S,
+    LPBABrainHalfDatasetS2S,
+    LPBABrainHalfInferDatasetS2S,
     LPBABrainInferDatasetS2S,
     NumpyType,
     Seg_norm,
@@ -119,12 +123,17 @@ def main(cfg: TrainConfig):
 
     train_composed = Compose([NumpyType((np.float32, np.float32))])
     val_composed = Compose([Seg_norm(), NumpyType((np.float32, np.int16))])
-    train_set = LPBABrainDatasetS2S(
-        sorted(glob.glob(os.path.join(cfg.train_dir, "*.pkl"))), transforms=train_composed
-    )
-    val_set = LPBABrainInferDatasetS2S(
-        sorted(glob.glob(os.path.join(cfg.val_dir, "*.pkl"))), transforms=val_composed
-    )
+    train_paths = sorted(glob.glob(os.path.join(cfg.train_dir, "*.pkl")))
+    val_paths = sorted(glob.glob(os.path.join(cfg.val_dir, "*.pkl")))
+    if cfg.dataset == "half":
+        train_set = LPBABrainHalfDatasetS2S(train_paths, transforms=train_composed)
+        val_set = LPBABrainHalfInferDatasetS2S(val_paths, transforms=val_composed)
+    elif cfg.dataset == "atlas":
+        train_set = LPBABrainAtlasDataset(train_paths, cfg.atlas_path, transforms=train_composed)
+        val_set = LPBABrainAtlasInferDataset(val_paths, cfg.atlas_path, transforms=val_composed)
+    else:
+        train_set = LPBABrainDatasetS2S(train_paths, transforms=train_composed)
+        val_set = LPBABrainInferDatasetS2S(val_paths, transforms=val_composed)
     train_loader = Loader(
         train_set, batch_size=cfg.batch_size, shuffle=True, seed=cfg.seed,
         num_workers=cfg.num_workers,
