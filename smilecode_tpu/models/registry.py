@@ -39,15 +39,18 @@ class ModelSpec:
 
 def build_model(name: str, cfg) -> ModelSpec:
     name = name.lower()
-    if name == "modet":
+    if name in ("modet", "modet-cu", "modet_cu", "modetcu"):
         from smilecode_tpu.models.modet import ModeT
 
+        # "modet-cu" = the reference's fused-CUDA-operator variant; here the
+        # fused Pallas kernel plays that role (forced rather than auto)
+        attn_impl = "pallas" if name != "modet" else cfg.attn_impl
         module = ModeT(
             channels=cfg.channels,
             head_dim=cfg.head_dim,
             num_heads=tuple(cfg.num_heads),
             qk_scale=cfg.qk_scale,
-            attn_impl=cfg.attn_impl,
+            attn_impl=attn_impl,
         )
         return ModelSpec(module, ["ncc", "grad_l2"])
     if name == "im2grid":

@@ -1,0 +1,32 @@
+"""Model registry coverage: every reference model name resolves and builds."""
+
+import pytest
+
+from smilecode_tpu.config import TrainConfig
+from smilecode_tpu.models.registry import build_model
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["modet", "modet-cu", "im2grid", "pcnet", "prnet", "prnet++", "vtn",
+     "rcn", "rdn", "rdn_share", "rdn_diff", "rdn_diff_share"],
+)
+def test_registry_builds(name):
+    spec = build_model(name, TrainConfig())
+    assert spec.module is not None
+    assert len(spec.criterions) >= 2
+    assert spec.criterions[0] == "ncc"
+
+
+def test_registry_rcn_loss_plan():
+    spec = build_model("rcn", TrainConfig())
+    # NCC on moved + Grad3d on each of the 10 cascade subflows
+    assert spec.criterions == ["ncc"] + ["grad_l2"] * 10
+    outs = tuple(range(12))  # (moved, flow, *10 subflows)
+    sel = spec.select_train_outputs(outs)
+    assert sel == (0, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+
+
+def test_registry_unknown_raises():
+    with pytest.raises(ValueError):
+        build_model("voxelmorph9000", TrainConfig())
