@@ -65,6 +65,10 @@ class InferConfig:
     qk_scale: float | None = 1.0
     img_size: Sequence[int] = (160, 192, 160)
     attn_impl: str = "auto"
+    dataset: str = "s2s"  # s2s | half | atlas
+    atlas_path: str = ""
+    # load a reference PyTorch .pth.tar instead of a native checkpoint
+    torch_checkpoint: str = ""
 
 
 def apply_cli_overrides(cfg, argv: list[str]):

@@ -18,7 +18,15 @@ import jax.numpy as jnp
 import numpy as np
 
 from smilecode_tpu.config import InferConfig, apply_cli_overrides
-from smilecode_tpu.data import Compose, Loader, LPBABrainInferDatasetS2S, NumpyType, Seg_norm
+from smilecode_tpu.data import (
+    Compose,
+    Loader,
+    LPBABrainAtlasInferDataset,
+    LPBABrainHalfInferDatasetS2S,
+    LPBABrainInferDatasetS2S,
+    NumpyType,
+    Seg_norm,
+)
 from smilecode_tpu.metrics import dice_val_voi, fold_fraction
 from smilecode_tpu.models.registry import build_model
 from smilecode_tpu.ops.warp import warp
@@ -42,17 +50,30 @@ def make_infer_step(spec):
 
 def main(cfg: InferConfig):
     spec = build_model(cfg.model, cfg)
-    ckpt_path = latest_checkpoint(cfg.model_dir, cfg.model_idx)
-    if ckpt_path is None:
-        raise SystemExit(f"no checkpoints in {cfg.model_dir!r}")
-    state = load_checkpoint(ckpt_path)
-    params = jax.tree.map(jnp.asarray, state["params"])
-    print(f"loaded {ckpt_path} (epoch {state.get('epoch')}, best_dsc {state.get('best_dsc')})")
+    if cfg.torch_checkpoint:
+        from smilecode_tpu.convert import load_torch_checkpoint
+
+        params = load_torch_checkpoint(
+            cfg.torch_checkpoint, spec.module, img_size=tuple(cfg.img_size)
+        )
+        params = jax.tree.map(jnp.asarray, params)
+        print(f"loaded torch checkpoint {cfg.torch_checkpoint}")
+    else:
+        ckpt_path = latest_checkpoint(cfg.model_dir, cfg.model_idx)
+        if ckpt_path is None:
+            raise SystemExit(f"no checkpoints in {cfg.model_dir!r}")
+        state = load_checkpoint(ckpt_path)
+        params = jax.tree.map(jnp.asarray, state["params"])
+        print(f"loaded {ckpt_path} (epoch {state.get('epoch')}, best_dsc {state.get('best_dsc')})")
 
     test_composed = Compose([Seg_norm(), NumpyType((np.float32, np.int16))])
-    test_set = LPBABrainInferDatasetS2S(
-        sorted(glob.glob(os.path.join(cfg.test_dir, "*.pkl"))), transforms=test_composed
-    )
+    test_paths = sorted(glob.glob(os.path.join(cfg.test_dir, "*.pkl")))
+    if cfg.dataset == "half":
+        test_set = LPBABrainHalfInferDatasetS2S(test_paths, transforms=test_composed)
+    elif cfg.dataset == "atlas":
+        test_set = LPBABrainAtlasInferDataset(test_paths, cfg.atlas_path, transforms=test_composed)
+    else:
+        test_set = LPBABrainInferDatasetS2S(test_paths, transforms=test_composed)
     loader = Loader(test_set, batch_size=1, shuffle=False)
     step = make_infer_step(spec)
 
