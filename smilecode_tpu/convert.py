@@ -17,7 +17,39 @@ Use `convert_state_dict(sd, template)` with a params template from
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
+
+# Per-family path rename rules (regex on the dotted merged path, applied in
+# order; the first candidate present in the params template wins). Needed
+# where our flax decomposition flattens a torch wrapper module:
+#   * PCnet `ChannelAttention.fc` Sequential -> raw fc1/fc2 params
+#   * PCnet/VTN UpConv blocks keep the transpose conv as raw kernel/bias
+#     params (torch nests them under `.upconv`)
+#   * torch `Sequential(Conv3d, Sigmoid)` single-conv wrappers -> plain conv
+#   * PCnet ResBlock `block.2` conv -> our `conv`
+RENAMES_BY_MODEL = {
+    "pcnet": (
+        (r"fc_0\.kernel$", "fc1"),
+        (r"fc_2\.kernel$", "fc2"),
+        (r"weight_conv_(\d+)_0\.", r"weight_conv_\1."),
+        (r"weight_conv_0\.", "weight_conv."),
+        (r"(upconv\d)\.upconv\.", r"\1."),
+        (r"\.block_2\.", ".conv."),
+    ),
+    "vtn": ((r"(Upsamp\dto\d|Pred0)\.upconv\.", r"\1."),),
+    "rcn": ((r"(Upsamp\dto\d|Pred0)\.upconv\.", r"\1."),),
+}
+
+
+def renames_for(model_name: str):
+    name = model_name.lower()
+    if name.startswith("rdn"):
+        name = "rdn"
+    if name in ("prnetplusplus", "prnet++", "prpp"):
+        name = "prnet"
+    return RENAMES_BY_MODEL.get(name, ())
 
 
 def _to_numpy(v):
@@ -75,8 +107,13 @@ def convert_tensor(path: tuple[str, ...], w: np.ndarray, target_shape) -> np.nda
     return w
 
 
-def convert_state_dict(state_dict: dict, params_template) -> dict:
-    """Build a flax params dict {'params': ...} from a torch state_dict."""
+def convert_state_dict(state_dict: dict, params_template, renames=()) -> dict:
+    """Build a flax params dict {'params': ...} from a torch state_dict.
+
+    ``renames``: optional ((pattern, replacement), ...) regex pairs applied
+    to the dotted merged path when the direct mapping misses (see
+    RENAMES_BY_MODEL / renames_for).
+    """
     import jax
 
     template = params_template["params"] if "params" in params_template else params_template
@@ -87,6 +124,13 @@ def convert_state_dict(state_dict: dict, params_template) -> dict:
         path = torch_key_to_flax_path(key)
         if path is None:
             continue
+        if path not in flat_template and renames:
+            dotted = ".".join(path)
+            for pat, repl in renames:
+                cand = re.sub(pat, repl, dotted)
+                if cand != dotted and tuple(cand.split(".")) in flat_template:
+                    path = tuple(cand.split("."))
+                    break
         if path not in flat_template:
             raise KeyError(
                 f"torch key {key!r} -> {path} not in model params. "
@@ -121,7 +165,7 @@ def _unflatten(flat):
     return nested
 
 
-def load_torch_checkpoint(path: str, model, img_size=(160, 192, 160)):
+def load_torch_checkpoint(path: str, model, img_size=(160, 192, 160), renames=()):
     """Load a reference ``.pth.tar`` and return flax params for ``model``."""
     import torch
     import jax
@@ -131,4 +175,4 @@ def load_torch_checkpoint(path: str, model, img_size=(160, 192, 160)):
     sd = ckpt.get("state_dict", ckpt)
     dummy = jnp.zeros((1, *img_size, 1), jnp.float32)
     template = model.init(jax.random.PRNGKey(0), dummy, dummy)
-    return convert_state_dict(sd, template)
+    return convert_state_dict(sd, template, renames=renames)

@@ -51,10 +51,11 @@ def make_infer_step(spec):
 def main(cfg: InferConfig):
     spec = build_model(cfg.model, cfg)
     if cfg.torch_checkpoint:
-        from smilecode_tpu.convert import load_torch_checkpoint
+        from smilecode_tpu.convert import load_torch_checkpoint, renames_for
 
         params = load_torch_checkpoint(
-            cfg.torch_checkpoint, spec.module, img_size=tuple(cfg.img_size)
+            cfg.torch_checkpoint, spec.module, img_size=tuple(cfg.img_size),
+            renames=renames_for(cfg.model),
         )
         params = jax.tree.map(jnp.asarray, params)
         print(f"loaded torch checkpoint {cfg.torch_checkpoint}")

@@ -31,17 +31,19 @@ from smilecode_tpu.ops.warp import warp
 
 
 class RDNEncoder(nn.Module):
-    """`Baseline methods/RDN/models.py:172-192`."""
+    """`Baseline methods/RDN/models.py:172-192`. NB: RDN's ConvBlock defaults
+    to LeakyReLU alpha=0.2 (`RDN/models.py:125`), unlike the 0.1 used
+    everywhere else in the reference."""
 
     first_out_channel: int = 16
 
     @nn.compact
     def __call__(self, x):
         c = self.first_out_channel
-        out0 = ConvBlock(c, 3, 2, 1, name="conv0")(x)
-        out1 = ConvBlock(2 * c, 3, 2, 1, name="conv1")(out0)
-        out2 = ConvBlock(4 * c, 3, 2, 1, name="conv2")(out1)
-        out3 = ConvBlock(8 * c, 3, 2, 1, name="conv3")(out2)
+        out0 = ConvBlock(c, 3, 2, 1, alpha=0.2, name="conv0")(x)
+        out1 = ConvBlock(2 * c, 3, 2, 1, alpha=0.2, name="conv1")(out0)
+        out2 = ConvBlock(4 * c, 3, 2, 1, alpha=0.2, name="conv2")(out1)
+        out3 = ConvBlock(8 * c, 3, 2, 1, alpha=0.2, name="conv3")(out2)
         return out0, out1, out2, out3
 
 

@@ -54,14 +54,35 @@ def poly_lr(epoch: int, max_epoch: int, init_lr: float, power: float = 0.9) -> f
     return round(init_lr * np.power(1 - epoch / max_epoch, power), 8)
 
 
+def resolve_weights(weights, n_criterions: int) -> list[float]:
+    """Extend cfg.weights to one weight per criterion by repeating the last.
+
+    RCN/RDN have 11/5 criterions (NCC + Grad3d per subflow) but the config
+    default is (1, 1); the reference uses ``weights = [1] + [1] * 10``
+    (`Baseline methods/RCN/train.py:47`), i.e. every extra Grad3d keeps the
+    regularizer weight. A bare ``zip`` would silently drop criterions 2..N.
+    """
+    weights = list(weights)
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if len(weights) < n_criterions:
+        weights = weights + [weights[-1]] * (n_criterions - len(weights))
+    return weights[:n_criterions]
+
+
 def make_train_step(spec, tx, weights):
     criterions = [CRITERIA[c] for c in spec.criterions]
+    weights = resolve_weights(weights, len(criterions))
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, x, y):
         def loss_fn(p):
             outs = spec.module.apply(p, x, y)
             outs = spec.select_train_outputs(outs)
+            assert len(outs) >= len(criterions), (
+                f"model returned {len(outs)} train outputs for "
+                f"{len(criterions)} criterions"
+            )
             losses = [
                 crit(outs[n], y) * w for n, (crit, w) in enumerate(zip(criterions, weights))
             ]
