@@ -34,6 +34,9 @@ class TrainConfig:
     max_keep: int = 8
     num_workers: int = 4
     attn_impl: str = "auto"
+    # "" = float32; "bfloat16" runs the feature path in bf16 (flow
+    # composition stays f32; see models/modet.py)
+    compute_dtype: str = ""
     # dataset variant: "s2s" (all ordered pairs), "half" (stride-2
     # downsampled pairs), "atlas" (register every subject to one atlas)
     dataset: str = "s2s"
@@ -65,6 +68,10 @@ class InferConfig:
     qk_scale: float | None = 1.0
     img_size: Sequence[int] = (160, 192, 160)
     attn_impl: str = "auto"
+    compute_dtype: str = ""
+    # "auto": planes-layout fast decoder for ModeT on TPU; "planes": force;
+    # "off": always the flax module
+    fast_path: str = "auto"
     dataset: str = "s2s"  # s2s | half | atlas
     atlas_path: str = ""
     # load a reference PyTorch .pth.tar instead of a native checkpoint

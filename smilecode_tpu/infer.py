@@ -34,10 +34,32 @@ from smilecode_tpu.utils import AverageMeter
 from smilecode_tpu.utils.checkpoint import latest_checkpoint, load_checkpoint
 
 
-def make_infer_step(spec):
+def make_infer_step(spec, cfg=None):
+    """cfg.fast_path="planes" (or "auto" on TPU) routes ModeT through the
+    planes-layout decoder (`models/modet_planes.py`) — same numerics, no
+    NDHWC<->planes relayout churn."""
+    fast = getattr(cfg, "fast_path", "auto") if cfg is not None else "off"
+    model_name = getattr(cfg, "model", "") if cfg is not None else ""
+    use_planes = model_name.startswith("modet") and (
+        fast == "planes" or (fast == "auto" and jax.default_backend() == "tpu")
+    )
+    if use_planes:
+        from smilecode_tpu.models.modet_planes import modet_forward_planes
+
+        def fwd(params, x, y):
+            return modet_forward_planes(
+                params, x, y,
+                channels=cfg.channels, head_dim=cfg.head_dim,
+                num_heads=tuple(cfg.num_heads), qk_scale=cfg.qk_scale,
+                compute_dtype=getattr(cfg, "compute_dtype", "") or None,
+            )
+    else:
+        def fwd(params, x, y):
+            return spec.module.apply(params, x, y)
+
     @jax.jit
     def step(params, x, y, x_seg, y_seg):
-        outs = spec.module.apply(params, x, y)
+        outs = fwd(params, x, y)
         flow = outs[1]
         def_seg = warp(x_seg.astype(jnp.float32), flow, mode="nearest").astype(jnp.int32)
         dice_trans = dice_val_voi(def_seg, y_seg.astype(jnp.int32))
@@ -76,7 +98,7 @@ def main(cfg: InferConfig):
     else:
         test_set = LPBABrainInferDatasetS2S(test_paths, transforms=test_composed)
     loader = Loader(test_set, batch_size=1, shuffle=False)
-    step = make_infer_step(spec)
+    step = make_infer_step(spec, cfg)
 
     eval_dsc_def = AverageMeter()
     eval_dsc_raw = AverageMeter()

@@ -95,26 +95,31 @@ def _attn_kernel(hd: int, heads: int, wp: int, hb: int,
         elif ow == 2:
             a2 += e
     inv = 1.0 / s
+    # out block is (1, 3, 1, hb, wp): component axis at dim 1
     o_ref[0, 0, 0] = a0 * inv
-    o_ref[0, 0, 1] = a1 * inv
-    o_ref[0, 0, 2] = a2 * inv
+    o_ref[0, 1, 0] = a1 * inv
+    o_ref[0, 2, 0] = a2 * inv
 
 
-def _forward(q, k, rpb, scale, interpret=False):
-    b, d, h, w, heads, hd = q.shape
-    bh = b * heads
+def modet_attention_planes(qs, kplanes, rpb, heads: int, scale: float = 1.0,
+                           interpret: bool = False):
+    """Planes-layout entry (no pre/post relayout): qs/kplanes are
+    (B*heads, D, head_dim, H, W) with W minor; output is
+    (B*heads, 3, D, H, W). Used by the planes-layout ModeT forward
+    (`models/modet_planes.py`) where the whole decoder stays W-minor.
+    Forward-only (no custom VJP) — training uses the NDHWC entry below.
+    """
+    bh, d, hd, h, w = qs.shape
     dt = jnp.float32
     wp = _round_up(w, 128)
-    wpk = wp + 128  # k window is read at lane offsets 0..2 over wp lanes
-    hp = _round_up(h, 8)  # sublane alignment for DMA extents
+    wpk = wp + 128
+    hp = _round_up(h, 8)
     hb = _pick_h_block(hp)
 
-    qs = (q.astype(dt) * dt(scale)).transpose(0, 4, 1, 5, 2, 3).reshape(bh, d, hd, h, w)
+    qs = (qs.astype(dt) * dt(scale))
     qs = jnp.pad(qs, ((0, 0),) * 3 + ((0, hp - h), (0, wp - w)))
-    # zero borders (reference pad) + alignment padding: H to hp+8 sublanes,
-    # W lanes to a 128 multiple
     kp = jnp.pad(
-        k.astype(dt).transpose(0, 4, 1, 5, 2, 3).reshape(bh, d, hd, h, w),
+        kplanes.astype(dt),
         ((0, 0), (1, 1), (0, 0), (1, hp + 7 - h), (1, wpk - w - 1)),
     )
 
@@ -133,9 +138,12 @@ def _forward(q, k, rpb, scale, interpret=False):
                          memory_space=pltpu.VMEM),  # q slab
             pl.BlockSpec(memory_space=pltpu.ANY),  # k stays in HBM
         ],
-        out_specs=pl.BlockSpec((1, 1, 3, hb, wp), lambda i, j, hblk: (i, j, 0, hblk, 0),
+        # output laid out (BH, 3, D, H, W): the subfield-component axis sits
+        # OUTSIDE the spatial block so downstream planes consumers read it
+        # without a relayout
+        out_specs=pl.BlockSpec((1, 3, 1, hb, wp), lambda i, j, hblk: (i, 0, j, hblk, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, d, 3, hp, wp), dt),
+        out_shape=jax.ShapeDtypeStruct((bh, 3, d, hp, wp), dt),
         scratch_shapes=[
             pltpu.VMEM((3, hd, hb + 8, wpk), dt),  # k window
             pltpu.VMEM((27, hb, wp), dt),  # logits
@@ -143,9 +151,216 @@ def _forward(q, k, rpb, scale, interpret=False):
         ],
         interpret=interpret,
     )(rpb_flat, qs, kp)
+    return out[..., :h, :w]
 
-    out = out[..., :h, :w].reshape(b, heads, d, 3, h, w).transpose(0, 2, 4, 5, 1, 3)
+
+def _forward(q, k, rpb, scale, interpret=False):
+    b, d, h, w, heads, hd = q.shape
+    bh = b * heads
+
+    qs = q.transpose(0, 4, 1, 5, 2, 3).reshape(bh, d, hd, h, w)
+    kpl = k.transpose(0, 4, 1, 5, 2, 3).reshape(bh, d, hd, h, w)
+    out = modet_attention_planes(qs, kpl, rpb, heads, scale, interpret)
+    # (bh, 3, d, h, w) -> (b, d, h, w, heads*3)
+    out = out.reshape(b, heads, 3, d, h, w).transpose(0, 3, 4, 5, 1, 2)
     return out.reshape(b, d, h, w, heads * 3).astype(q.dtype)
+
+
+def _bwd1_kernel(hd: int, heads: int, wp: int, hb: int, h: int, w: int, scale: float,
+                 rpb_ref, q_ref, g_ref, k_hbm, dq_ref, dl_ref, drpb_ref, ksc, lsc, sem):
+    """Per (bh, d, hblk): recompute softmax probs (like the forward), turn the
+    output gradient into d_logits, fuse dq (k window is already in VMEM) and
+    the block's drpb partial sums. Mirrors the reference's dq kernel
+    (`modet_kernel.cu:156-207`) + the softmax/offset-contraction backward the
+    reference leaves to torch autograd."""
+    bh = pl.program_id(0)
+    d = pl.program_id(1)
+    hblk = pl.program_id(2)
+    head = bh % heads
+
+    copy = pltpu.make_async_copy(
+        k_hbm.at[bh, pl.ds(d, 3), :, pl.ds(hblk * hb, hb + 8)], ksc, sem
+    )
+    copy.start()
+    copy.wait()
+
+    # recompute the 27 logit slabs + running max (identical to forward)
+    m = None
+    for t, (od, oh, ow) in enumerate(_OFFSETS):
+        acc = q_ref[0, 0, 0] * ksc[od, 0, oh:oh + hb, ow:ow + wp]
+        for c in range(1, hd):
+            acc += q_ref[0, 0, c] * ksc[od, c, oh:oh + hb, ow:ow + wp]
+        acc += rpb_ref[head, t]
+        lsc[t] = acc
+        m = acc if m is None else jnp.maximum(m, acc)
+
+    s = jnp.zeros((hb, wp), jnp.float32)
+    for t in range(27):
+        e = jnp.exp(lsc[t] - m)
+        lsc[t] = e
+        s += e
+    inv = 1.0 / s
+
+    # d_attn_t = sum_c g_c * offset_t[c]; S = sum_u p_u d_attn_u
+    g0 = g_ref[0, 0, 0]
+    g1 = g_ref[0, 0, 1]
+    g2 = g_ref[0, 0, 2]
+    S = jnp.zeros((hb, wp), jnp.float32)
+    for t, (od, oh, ow) in enumerate(_OFFSETS):
+        da = (od - 1) * g0 + (oh - 1) * g1 + (ow - 1) * g2
+        S += (lsc[t] * inv) * da
+
+    # valid-position mask: hp/wp alignment pads carry garbage q/k/g; dl must
+    # be exactly zero there (B2 and drpb read/reduce it)
+    row0 = hblk * hb
+    valid = (
+        (jax.lax.broadcasted_iota(jnp.int32, (hb, wp), 0) + row0 < h)
+        & (jax.lax.broadcasted_iota(jnp.int32, (hb, wp), 1) < w)
+    ).astype(jnp.float32)
+
+    dq_acc = [jnp.zeros((hb, wp), jnp.float32) for _ in range(hd)]
+    for t, (od, oh, ow) in enumerate(_OFFSETS):
+        da = (od - 1) * g0 + (oh - 1) * g1 + (ow - 1) * g2
+        dl = (lsc[t] * inv) * (da - S) * valid
+        dl_ref[0, 0, t] = dl
+        drpb_ref[0, 0, 0, t] = jnp.sum(dl)
+        for c in range(hd):
+            dq_acc[c] += dl * ksc[od, c, oh:oh + hb, ow:ow + wp]
+    for c in range(hd):
+        dq_ref[0, 0, c] = scale * dq_acc[c]
+
+
+def _bwd2_kernel(hd: int, wp: int, hb: int, scale: float,
+                 dl_hbm, q_hbm, dk_ref, dls, qs_, sem1, sem2):
+    """Per (bh, d, hblk): dk[x] = scale * sum_t dl[x - off_t, t] * q[x - off_t]
+    — the inverse-window recurrence of the reference's dk kernel
+    (`modet_kernel.cu:209-267`, `include/utils.h:29-38`). dl and q come
+    pre-padded by 1 in (d, h, w), so window reads are static slices."""
+    bh = pl.program_id(0)
+    d = pl.program_id(1)
+    hblk = pl.program_id(2)
+
+    # hardware DMA row extents must be 8-aligned: read hb+8 rows (hb is a
+    # multiple of 8); only the first hb+2 are consumed. The +8 row pad on the
+    # HBM buffers guarantees the read stays in range for the last block.
+    cp1 = pltpu.make_async_copy(
+        dl_hbm.at[bh, pl.ds(d, 3), :, pl.ds(hblk * hb, hb + 8)], dls, sem1
+    )
+    cp2 = pltpu.make_async_copy(
+        q_hbm.at[bh, pl.ds(d, 3), :, pl.ds(hblk * hb, hb + 8)], qs_, sem2
+    )
+    cp1.start()
+    cp2.start()
+    cp1.wait()
+    cp2.wait()
+
+    dk_acc = [jnp.zeros((hb, wp), jnp.float32) for _ in range(hd)]
+    for t, (od, oh, ow) in enumerate(_OFFSETS):
+        dl = dls[2 - od, t, 2 - oh:2 - oh + hb, 2 - ow:2 - ow + wp]
+        for c in range(hd):
+            dk_acc[c] += dl * qs_[2 - od, c, 2 - oh:2 - oh + hb, 2 - ow:2 - ow + wp]
+    for c in range(hd):
+        dk_ref[0, 0, c] = scale * dk_acc[c]
+
+
+def _backward(q, k, rpb, scale, g, interpret=False):
+    """Fused backward: returns (dq, dk, drpb?) matching the oracle VJP."""
+    b, d, h, w, heads, hd = q.shape
+    bh = b * heads
+    dt = jnp.float32
+    wp = _round_up(w, 128)
+    wpk = wp + 128
+    hp = _round_up(h, 8)
+    hb = _pick_h_block(hp)
+    nblk = hp // hb
+
+    # layouts identical to the forward
+    qs = q.astype(dt).transpose(0, 4, 1, 5, 2, 3).reshape(bh, d, hd, h, w)
+    qs = jnp.pad(qs, ((0, 0),) * 3 + ((0, hp - h), (0, wp - w)))
+    kp = jnp.pad(
+        k.astype(dt).transpose(0, 4, 1, 5, 2, 3).reshape(bh, d, hd, h, w),
+        ((0, 0), (1, 1), (0, 0), (1, hp + 7 - h), (1, wpk - w - 1)),
+    )
+    gs = g.astype(dt).reshape(b, d, h, w, heads, 3).transpose(0, 4, 1, 5, 2, 3)
+    gs = gs.reshape(bh, d, 3, h, w)
+    gs = jnp.pad(gs, ((0, 0),) * 3 + ((0, hp - h), (0, wp - w)))
+
+    if rpb is None:
+        rpb_flat = jnp.zeros((heads, 27), dt)
+    else:
+        rpb_flat = rpb.astype(dt).reshape(heads, 27)
+
+    # q scaled inside logits in the forward; keep q unscaled here and apply
+    # `scale` explicitly to dq/dk instead (logits used q*scale; recompute
+    # must match) -> pass q*scale into B1's logit recompute.
+    qs_scaled = qs * dt(scale)
+
+    kern1 = functools.partial(_bwd1_kernel, hd, heads, wp, hb, h, w, scale)
+    blkspec = lambda nc: pl.BlockSpec(
+        (1, 1, nc, hb, wp), lambda i, j, hblk: (i, j, 0, hblk, 0), memory_space=pltpu.VMEM
+    )
+    dq, dl, drpb_parts = pl.pallas_call(
+        kern1,
+        grid=(bh, d, nblk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rpb
+            blkspec(hd),  # q (scaled)
+            blkspec(3),   # g planes
+            pl.BlockSpec(memory_space=pltpu.ANY),  # k padded, HBM
+        ],
+        out_specs=[
+            blkspec(hd),  # dq
+            blkspec(27),  # d_logits
+            pl.BlockSpec((1, 1, 1, 27), lambda i, j, hblk: (i, j, hblk, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, d, hd, hp, wp), dt),
+            jax.ShapeDtypeStruct((bh, d, 27, hp, wp), dt),
+            jax.ShapeDtypeStruct((bh, d, nblk, 27), dt),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((3, hd, hb + 8, wpk), dt),
+            pltpu.VMEM((27, hb, wp), dt),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(rpb_flat, qs_scaled, gs, kp)
+
+    # pad dl and q by one voxel per spatial side for B2's inverse windows
+    dlp = jnp.pad(dl, ((0, 0), (1, 1), (0, 0), (1, 7), (1, 127)))
+    qp = jnp.pad(qs, ((0, 0), (1, 1), (0, 0), (1, 7), (1, 127)))
+
+    kern2 = functools.partial(_bwd2_kernel, hd, wp, hb, scale)
+    dk = pl.pallas_call(
+        kern2,
+        grid=(bh, d, nblk),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # dl padded
+            pl.BlockSpec(memory_space=pltpu.ANY),  # q padded
+        ],
+        out_specs=blkspec(hd),
+        out_shape=jax.ShapeDtypeStruct((bh, d, hd, hp, wp), dt),
+        scratch_shapes=[
+            pltpu.VMEM((3, 27, hb + 8, wpk), dt),
+            pltpu.VMEM((3, hd, hb + 8, wpk), dt),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(dlp, qp)
+
+    def unplanes(x):
+        x = x[..., :h, :w].reshape(b, heads, d, hd, h, w)
+        return x.transpose(0, 2, 4, 5, 1, 3).astype(q.dtype)
+
+    dq_out = unplanes(dq)
+    dk_out = unplanes(dk)
+    if rpb is None:
+        return dq_out, dk_out, None
+    drpb = jnp.sum(drpb_parts.reshape(b, heads, d, nblk, 27), axis=(0, 2, 3))
+    drpb = drpb.reshape(heads, 3, 3, 3).astype(rpb.dtype)
+    return dq_out, dk_out, drpb
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -165,17 +380,8 @@ def _fwd(q, k, rpb, scale, interpret):
 
 
 def _bwd(scale, interpret, res, g):
-    from smilecode_tpu.ops.attention import _neighborhood_attention_xla
-
     q, k, rpb = res
-    if rpb is None:
-        _, vjp = jax.vjp(lambda q_, k_: _neighborhood_attention_xla(q_, k_, None, scale), q, k)
-        dq, dk = vjp(g)
-        return dq, dk, None
-    _, vjp = jax.vjp(
-        lambda q_, k_, r_: _neighborhood_attention_xla(q_, k_, r_, scale), q, k, rpb
-    )
-    return vjp(g)
+    return _backward(q, k, rpb, scale, g, interpret)
 
 
 modet_attention_pallas.defvjp(_fwd, _bwd)

@@ -141,38 +141,114 @@ def pad_image(img: np.ndarray, target_shape, mode="constant", **kw) -> np.ndarra
 
 
 # ---------------------------------------------------------- uncertainty
+# Parity: `Baseline methods/RDN/utils.py:377-504`. Layout note: the
+# reference stacks MC samples on the batch axis of NCDHW tensors and splits
+# channels as [:-1] (prediction) / [-1:] (aleatoric head); here samples are
+# axis 0 of channels-LAST arrays, so the split is on the trailing axis.
+
+
+def get_mc_preds(apply_fn, moving, fixed, mc_iter: int = 25, rng=None):
+    """MC-integration sampling (`get_mc_preds`, `RDN/utils.py:377-393`):
+    run a stochastic forward `mc_iter` times, return (img_list, flow_list).
+
+    `apply_fn(moving, fixed, rng_key)` must be a forward whose randomness
+    (e.g. dropout, `models.RDN(dropout_rate=...)`) is driven by rng_key.
+    """
+    import jax
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    img_list, flow_list = [], []
+    for key in jax.random.split(rng, mc_iter):
+        out = apply_fn(moving, fixed, key)
+        img_list.append(np.asarray(out[0]))
+        flow_list.append(np.asarray(out[1]))
+    return img_list, flow_list
+
+
+def get_mc_preds_w_errors(apply_fn, moving, fixed, target, mc_iter: int = 25, rng=None):
+    """`get_mc_preds_w_errors` (`RDN/utils.py:414-433`): also collects the
+    per-sample MSE against ``target``."""
+    img_list, flow_list = get_mc_preds(apply_fn, moving, fixed, mc_iter, rng)
+    target = np.asarray(target)
+    errs = [float(np.mean((img - target) ** 2)) for img in img_list]
+    return img_list, flow_list, errs
+
+
+def calc_uncert(tar, img_list):
+    """Mean squared deviation from ``tar`` across MC samples, per voxel
+    (`calc_uncert`/`calc_error`, `RDN/utils.py:395-411`)."""
+    tar = np.asarray(tar)
+    sqr = np.stack([(np.asarray(img) - tar) ** 2 for img in img_list], axis=0)
+    return sqr.mean(axis=0, keepdims=False)[None]
+
+
+calc_error = calc_uncert
+
 
 def mc_stats(preds: np.ndarray):
-    """Mean/variance over Monte-Carlo forward passes (axis 0) —
-    `get_mc_preds`/`calc_uncert` analog for arbitrary stochastic passes."""
+    """Mean/variance over Monte-Carlo forward passes (axis 0)."""
     preds = np.asarray(preds)
     return preds.mean(axis=0), preds.var(axis=0)
 
 
-def uncert_regression_gal(preds: np.ndarray, reduction: str = "mean"):
-    """Gal-style regression uncertainty decomposition over MC samples:
-    aleatoric + epistemic (`uncert_regression_gal` analog; the reference's
-    version consumes (N, 2C, ...) mean/logvar pairs — here plain MC draws)."""
-    mean = preds.mean(axis=0)
-    epistemic = preds.var(axis=0)
+def uncert_regression_gal(img_list, reduction: str = "mean"):
+    """Gal-style decomposition (`uncert_regression_gal`, `RDN/utils.py:459-472`):
+    the last channel is the aleatoric (predicted-variance) head; the rest is
+    the prediction. ale = mean of that channel over samples; epi = variance
+    of the prediction channels over samples, averaged across channels.
+
+    img_list: sequence of (..., C) sample arrays (or an (N, ..., C) array).
+    Returns (ale, epi, ale+epi) — scalars for reduction 'mean'/'sum',
+    arrays for anything else.
+    """
+    preds = np.stack([np.asarray(x) for x in img_list], axis=0)
+    ale = preds[..., -1:].mean(axis=0)
+    epi = preds[..., :-1].var(axis=0).mean(axis=-1, keepdims=True)
+    uncert = ale + epi
     if reduction == "mean":
-        return float(epistemic.mean())
-    return mean, epistemic
+        return float(ale.mean()), float(epi.mean()), float(uncert.mean())
+    if reduction == "sum":
+        return float(ale.sum()), float(epi.sum()), float(uncert.sum())
+    return ale, epi, uncert
 
 
-def uce_loss(errors: np.ndarray, uncert: np.ndarray, n_bins: int = 15):
-    """Uncertainty calibration error (`uceloss` analog): bin by uncertainty,
-    compare mean error per bin against mean uncertainty per bin."""
-    errors = np.asarray(errors).reshape(-1)
-    uncert = np.asarray(uncert).reshape(-1)
-    edges = np.linspace(uncert.min(), uncert.max() + 1e-12, n_bins + 1)
+def uceloss(errors, uncert, n_bins: int = 15, outlier: float = 0.0, value_range=None):
+    """Uncertainty calibration error (`uceloss`, `RDN/utils.py:474-504`):
+    bin voxels by uncertainty, accumulate |mean err - mean uncert| * bin
+    fraction. Returns (uce, err_in_bin, avg_uncert_in_bin, prop_in_bin)
+    like the reference (bins with fraction <= ``outlier`` are skipped;
+    first boundary is exclusive, matching torch ``gt``/``le``)."""
+    errors = np.asarray(errors, np.float64).reshape(-1)
+    uncert = np.asarray(uncert, np.float64).reshape(-1)
+    if value_range is None:
+        edges = np.linspace(uncert.min(), uncert.max(), n_bins + 1)
+    else:
+        edges = np.linspace(value_range[0], value_range[1], n_bins + 1)
     uce = 0.0
+    err_in_bin, avg_unc_in_bin, prop_in_bin = [], [], []
     n = len(uncert)
     for lo, hi in zip(edges[:-1], edges[1:]):
-        mask = (uncert >= lo) & (uncert < hi)
-        if mask.any():
-            uce += (mask.sum() / n) * abs(errors[mask].mean() - uncert[mask].mean())
-    return float(uce)
+        mask = (uncert > lo) & (uncert <= hi)
+        prop = mask.sum() / n
+        prop_in_bin.append(prop)
+        if prop > outlier:
+            e = errors[mask].mean() if mask.any() else np.nan
+            u = uncert[mask].mean() if mask.any() else np.nan
+            uce += abs(u - e) * prop
+            err_in_bin.append(e)
+            avg_unc_in_bin.append(u)
+    return (
+        float(uce),
+        np.asarray(err_in_bin),
+        np.asarray(avg_unc_in_bin),
+        np.asarray(prop_in_bin),
+    )
+
+
+def uce_loss(errors, uncert, n_bins: int = 15):
+    """Scalar convenience wrapper over `uceloss`."""
+    return uceloss(errors, uncert, n_bins)[0]
 
 
 def save_nii(img: np.ndarray, path: str, reference_header_path: str | None = None):

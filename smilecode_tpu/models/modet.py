@@ -141,14 +141,24 @@ class ModeT(nn.Module):
     num_heads: Sequence[int] = (8, 4, 2, 1, 1)
     qk_scale: float | None = None  # reference trains with scale=1
     attn_impl: str = "auto"
+    # "bfloat16" runs the feature path (encoder, projections, attention
+    # inputs, CWM, feature warps) in bf16; flow composition/upsampling and
+    # the final image warp stay float32 (flow magnitudes are O(1) voxel, so
+    # bf16's ~3 significant digits would quantize displacements by ~0.01
+    # voxel — measurable in fold stats). Gate: tests/test_modet.py asserts
+    # bf16-vs-f32 flow endpoint agreement.
+    compute_dtype: str | None = None
 
     @nn.compact
     def __call__(self, moving, fixed):
         c = self.channels
         nh = self.num_heads
+        cd = jnp.dtype(self.compute_dtype) if self.compute_dtype else None
+        moving_c = moving.astype(cd) if cd else moving
+        fixed_c = fixed.astype(cd) if cd else fixed
         encoder = Encoder(first_out_channel=c, name="encoder")
-        m1, m2, m3, m4, m5 = encoder(moving)
-        f1, f2, f3, f4, f5 = encoder(fixed)
+        m1, m2, m3, m4, m5 = encoder(moving_c)
+        f1, f2, f3, f4, f5 = encoder(fixed_c)
 
         def proj(level_dim, name):
             return ProjectionLayer(dim=level_dim, name=name)
@@ -162,36 +172,38 @@ class ModeT(nn.Module):
                 name=name,
             )
 
+        f32 = jnp.float32
+
         # level 5 (1/16)
         pb5 = proj(self.head_dim * nh[0], "projblock5")
         w = mdt(self.head_dim * nh[0], nh[0], "mdt5")(pb5(f5), pb5(m5))
-        w = CWM(3 * nh[0], 3 * nh[0] * 2, name="cwm5")(w)
+        w = CWM(3 * nh[0], 3 * nh[0] * 2, name="cwm5")(w).astype(f32)
         flow = w  # now at 1/8
 
         # level 4 (1/8)
         m4 = warp(m4, flow)
         pb4 = proj(self.head_dim * nh[1], "projblock4")
         w = mdt(self.head_dim * nh[1], nh[1], "mdt4")(pb4(f4), pb4(m4))
-        w = CWM(3 * nh[1], 3 * nh[1] * 2, name="cwm4")(w)
+        w = CWM(3 * nh[1], 3 * nh[1] * 2, name="cwm4")(w).astype(f32)
         flow = warp(upsample2_trilinear(2 * flow), w) + w  # at 1/4
 
         # level 3 (1/4)
         m3 = warp(m3, flow)
         pb3 = proj(self.head_dim * nh[2], "projblock3")
         w = mdt(self.head_dim * nh[2], nh[2], "mdt3")(pb3(f3), pb3(m3))
-        w = CWM(3 * nh[2], 3 * nh[2] * 2, name="cwm3")(w)
+        w = CWM(3 * nh[2], 3 * nh[2] * 2, name="cwm3")(w).astype(f32)
         flow = warp(upsample2_trilinear(2 * flow), w) + w  # at 1/2
 
         # level 2 (1/2): single head, no CWM; compose THEN upsample
         m2 = warp(m2, flow)
         pb2 = proj(self.head_dim * nh[3], "projblock2")
-        w = mdt(self.head_dim * nh[3], nh[3], "mdt2")(pb2(f2), pb2(m2))
+        w = mdt(self.head_dim * nh[3], nh[3], "mdt2")(pb2(f2), pb2(m2)).astype(f32)
         flow = upsample2_trilinear(2 * (warp(flow, w) + w))  # at full res
 
         # level 1 (full res): single head, no CWM
         m1 = warp(m1, flow)
         pb1 = proj(self.head_dim * nh[4], "projblock1")
-        w = mdt(self.head_dim * nh[4], nh[4], "mdt1")(pb1(f1), pb1(m1))
+        w = mdt(self.head_dim * nh[4], nh[4], "mdt1")(pb1(f1), pb1(m1)).astype(f32)
         flow = warp(flow, w) + w
 
         y_moved = warp(moving, flow)

@@ -1,0 +1,316 @@
+"""Planes-layout ModeT forward — the TPU inference fast path.
+
+Round-1 device traces showed ~45% of the 654 ms/pair forward was pure layout
+churn: copies/reshapes/concats where NDHWC ops handed tensors to the
+W-minor Pallas kernels (attention pre/post transposes, warp pack builds,
+CWM minor-axis reshuffles). This module runs the ENTIRE decoder in ONE
+layout — channels-first "planes" (B, C, D, H, W) with W minor, the layout
+both Pallas kernels already use internally:
+
+  * projections + LayerNorm: one einsum-dot from the NDHWC encoder feature
+    straight into (B*heads, D, head_dim, H, W) kernel layout;
+  * neighborhood attention: `kernels.modet_attn.modet_attention_planes`
+    (planes in, (B*heads, 3, D, H, W) out — no relayout);
+  * CWM: per-tap einsum convs + psum-free InstanceNorm on planes;
+  * 2x trilinear upsample: cheap takes on D/H + one interpolation-matrix
+    matmul on the lane (W) axis (align_corners positions are not polyphase,
+    so the lane axis needs a true interpolation contraction — the MXU eats
+    it);
+  * warps: `kernels.warp3d.warp3d_planes` with absolute coords built as
+    plane arithmetic, guarded by `warp_window_violations` with an exact
+    (transpose -> packed -> transpose) fallback branch.
+
+Numerics match `models.modet.ModeT` (same params, same graph, same op
+semantics); equality is tested in tests/test_modet_planes.py. Forward/
+inference only — training uses the flax model (whose attention has the
+fused backward kernels).
+
+Reference hot path: `/root/reference/ModeT/models.py:337-412`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from smilecode_tpu.kernels.modet_attn import modet_attention_planes
+from smilecode_tpu.kernels.warp3d import warp3d_planes, KD, KHA, HB
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+# ------------------------------------------------------------ primitives
+
+
+def to_planes(x):
+    """(B, D, H, W, C) -> (B, C, D, H, W)."""
+    return x.transpose(0, 4, 1, 2, 3)
+
+
+def from_planes(x):
+    """(B, C, D, H, W) -> (B, D, H, W, C)."""
+    return x.transpose(0, 2, 3, 4, 1)
+
+
+def proj_ln_planes(p, feat, heads: int, hd: int, scale: float = 1.0):
+    """Projection + LayerNorm, planes feature (B, C, D, H, W) ->
+    (B*heads, D, hd, H, W) — the attention kernel's native layout.
+
+    Matches ProjectionLayer (`models/modet.py:72-86`): y = LN(feat @ W + b),
+    LN over the full heads*hd channel; then the qk scale is folded in.
+    """
+    b, _, d, h, w = feat.shape
+    kernel = p["proj"]["kernel"].reshape(-1, heads, hd)
+    # dot straight into kernel layout: (b, heads, d, hd, h, w)
+    y = jnp.einsum("bcdhw,cnk->bndkhw", feat, kernel.astype(feat.dtype))
+    y = y + p["proj"]["bias"].reshape(heads, 1, hd, 1, 1).astype(y.dtype)
+    mean = jnp.mean(y, axis=(1, 3), keepdims=True)
+    var = jnp.var(y, axis=(1, 3), keepdims=True)
+    y = (y - mean) * jax.lax.rsqrt(var + 1e-5)
+    y = y * p["norm"]["scale"].reshape(heads, 1, hd, 1, 1).astype(y.dtype)
+    y = y + p["norm"]["bias"].reshape(heads, 1, hd, 1, 1).astype(y.dtype)
+    if scale != 1.0:
+        y = y * jnp.asarray(scale, y.dtype)
+    return y.reshape(b * heads, d, hd, h, w)
+
+
+def conv3_planes(p, x):
+    """3^3 SAME conv on planes via 27 per-tap channel-mix dots.
+
+    x: (B, C, D, H, W); kernel param (3, 3, 3, Cin, Cout)."""
+    kern = p["kernel"].astype(x.dtype)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (1, 1), (1, 1)))
+    b, c, d, h, w = x.shape
+    out = None
+    for od in range(3):
+        for oh in range(3):
+            for ow in range(3):
+                sl = jax.lax.slice(
+                    xp, (0, 0, od, oh, ow), (b, c, od + d, oh + h, ow + w)
+                )
+                t = jnp.einsum("co,bcdhw->bodhw", kern[od, oh, ow], sl)
+                out = t if out is None else out + t
+    return out + p["bias"].reshape(1, -1, 1, 1, 1).astype(x.dtype)
+
+
+def instance_norm_planes(x, eps=1e-5):
+    mean = jnp.mean(x, axis=(2, 3, 4), keepdims=True)
+    var = jnp.var(x, axis=(2, 3, 4), keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps)
+
+
+def leaky_relu(x, alpha=0.1):
+    return jnp.where(x >= 0, x, alpha * x)
+
+
+def conv_ins_planes(p, x, alpha=0.1):
+    return leaky_relu(instance_norm_planes(conv3_planes(p["main"], x)), alpha)
+
+
+@functools.lru_cache(maxsize=None)
+def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """(n_in, n_out) align_corners linear interpolation matrix."""
+    g = np.zeros((n_in, n_out), np.float32)
+    if n_in == 1:
+        g[0, :] = 1.0
+        return g
+    pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / max(n_out - 1, 1)
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 1)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    t = pos - i0
+    for o in range(n_out):
+        g[i0[o], o] += 1.0 - t[o]
+        g[i1[o], o] += t[o]
+    return g
+
+
+def _interp_take(x, n_out: int, axis: int):
+    """align_corners linear interp along a NON-minor axis via two takes."""
+    n_in = x.shape[axis]
+    if n_in == n_out:
+        return x
+    if n_in == 1:
+        reps = [1] * x.ndim
+        reps[axis] = n_out
+        return jnp.tile(x, reps)
+    pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / max(n_out - 1, 1)
+    i0 = np.clip(np.floor(pos).astype(np.int32), 0, n_in - 1)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    t = (pos - i0).astype(np.float32)
+    shape = [1] * x.ndim
+    shape[axis] = n_out
+    fr = jnp.asarray(t, x.dtype).reshape(shape)
+    return jnp.take(x, jnp.asarray(i0), axis=axis) * (1 - fr) + jnp.take(
+        x, jnp.asarray(i1), axis=axis
+    ) * fr
+
+
+def upsample2_planes(x):
+    """2x trilinear (align_corners) on (B, C, D, H, W): takes on D/H, an
+    interpolation-matrix matmul on the minor W axis."""
+    b, c, d, h, w = x.shape
+    x = _interp_take(x, 2 * d, 2)
+    x = _interp_take(x, 2 * h, 3)
+    g = jnp.asarray(_interp_matrix(w, 2 * w), x.dtype)
+    return jnp.einsum("bcdhw,wv->bcdhv", x, g)
+
+
+def warp_planes(src, flow, on_tpu: bool, guarded: bool = True):
+    """Warp planes src (B, C, D, H, W) by planes flow (B, 3, D, H, W).
+
+    TPU: windowed kernel on planes; when guarded, a violation check routes
+    wild flows through the exact packed path (transposed) instead.
+    CPU/other: oracle path via NDHWC (used by the equality tests)."""
+    b, c, d, h, w = src.shape
+    base_d = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 1)
+    base_h = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 2)
+    base_w = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 3)
+    fl = flow.astype(jnp.float32)
+    cd = base_d + fl[:, 0]
+    ch = base_h + fl[:, 1]
+    cw = base_w + fl[:, 2]
+
+    if not on_tpu:
+        from smilecode_tpu.ops.warp import warp_coords
+
+        coords = jnp.stack([cd, ch, cw], axis=-1).reshape(b, d * h * w, 3)
+        out = warp_coords(from_planes(src), coords, (d, h, w))
+        return to_planes(out)
+
+    planes = src.reshape(b * c, d, h, w)
+
+    def windowed(pl_, cd_, ch_, cw_):
+        return warp3d_planes(pl_, cd_, ch_, cw_, c, False)
+
+    if not guarded:
+        out = windowed(planes, cd, ch, cw)
+        return out.reshape(b, c, d, h, w).astype(src.dtype)
+
+    def fallback(pl_, cd_, ch_, cw_):
+        from smilecode_tpu.ops.warp import _warp_bilinear_packed
+
+        src5 = from_planes(pl_.reshape(b, c, d, h, w))
+        flow5 = from_planes(jnp.stack([cd_ - base_d[0], ch_ - base_h[0], cw_ - base_w[0]], 1))
+        return to_planes(_warp_bilinear_packed(src5, flow5)).reshape(b * c, d, h, w)
+
+    viol = _violations_from_coords(cd, ch, d, h, w)
+    out = jax.lax.cond(viol > 0, fallback, windowed, planes, cd, ch, cw)
+    return out.reshape(b, c, d, h, w).astype(src.dtype)
+
+
+def _violations_from_coords(cd, ch, sd, sh, sw):
+    """Tile (d, h) cell-spread violation count from absolute coords
+    (mirrors `kernels.warp3d.warp_window_violations`)."""
+    b, fd, fh, fw = cd.shape
+    celld = jnp.floor(cd)
+    cellh = jnp.floor(ch)
+    fhp = _round_up(fh, HB)
+    celld = jnp.pad(celld, ((0, 0), (0, 0), (0, fhp - fh), (0, 0)), mode="edge")
+    cellh = jnp.pad(cellh, ((0, 0), (0, 0), (0, fhp - fh), (0, 0)), mode="edge")
+    celld = celld.reshape(b, fd, fhp // HB, HB * fw)
+    cellh = cellh.reshape(b, fd, fhp // HB, HB * fw)
+    d_spread = jnp.max(celld, -1) - jnp.min(celld, -1)
+    h_spread = jnp.max(cellh, -1) - jnp.min(cellh, -1)
+    bad = (d_spread > KD - 2) | (h_spread > KHA - 10)
+    return jnp.sum(bad.astype(jnp.int32))
+
+
+def cwm_planes(p, x, heads: int):
+    """Competitive weighting on planes (`models/modet.py:89-107`):
+    upsample2, two ConvIns blocks + weight conv, softmax over the per-head
+    fields, weighted sum, x2. x: (B, heads*3, D, H, W)."""
+    x = upsample2_planes(x)
+    wgt = conv_ins_planes(p["conv_0"], x)
+    wgt = conv_ins_planes(p["conv_1"], wgt)
+    wgt = conv3_planes(p["conv_2"], wgt)  # (B, heads, D, H, W)
+    wgt = jax.nn.softmax(wgt, axis=1)
+    bsz, _, d, h, w = x.shape
+    fields = x.reshape(bsz, heads, 3, d, h, w)
+    fused = jnp.sum(fields * wgt[:, :, None], axis=1)
+    return 2.0 * fused  # (B, 3, D, H, W)
+
+
+# ------------------------------------------------------------ forward
+
+
+def modet_forward_planes(
+    params,
+    moving,
+    fixed,
+    channels: int = 4,
+    head_dim: int = 6,
+    num_heads=(8, 4, 2, 1, 1),
+    qk_scale: float | None = 1.0,
+    compute_dtype=None,
+    guarded_warp: bool = True,
+):
+    """Full ModeT forward in planes layout. Same contract as
+    `ModeT.__call__`: (moving, fixed) NDHWC -> (y_moved, flow) NDHWC."""
+    on_tpu = jax.default_backend() == "tpu"
+    p = params["params"] if "params" in params else params
+    nh = tuple(num_heads)
+    scale = qk_scale or head_dim ** -0.5
+    cd = jnp.dtype(compute_dtype) if compute_dtype else None
+
+    # encoder: flax NDHWC module reused as-is (XLA convs); features are
+    # transposed ONCE per level into planes
+    from smilecode_tpu.models.modet import Encoder
+
+    enc = Encoder(first_out_channel=channels)
+    enc_params = {"params": p["encoder"]}
+    mv_in = moving.astype(cd) if cd else moving
+    fx_in = fixed.astype(cd) if cd else fixed
+    m1, m2, m3, m4, m5 = [to_planes(f) for f in enc.apply(enc_params, mv_in)]
+    f1, f2, f3, f4, f5 = [to_planes(f) for f in enc.apply(enc_params, fx_in)]
+
+    def attn(level, q, k, heads):
+        out = modet_attention_planes(
+            q, k, p[f"mdt{level}"].get("rpb"), heads, 1.0, not on_tpu
+        )
+        bh = out.shape[0]
+        return out.reshape(bh // heads, heads * 3, *out.shape[2:])
+
+    def proj(level, feat, heads):
+        return proj_ln_planes(p[f"projblock{level}"], feat, heads, head_dim, 1.0)
+
+    wp = functools.partial(warp_planes, on_tpu=on_tpu, guarded=guarded_warp)
+    f32 = jnp.float32
+
+    def qscale(x):
+        return x * jnp.asarray(scale, x.dtype)
+
+    # level 5 (1/16)
+    w5 = attn(5, qscale(proj(5, f5, nh[0])), proj(5, m5, nh[0]), nh[0])
+    flow = cwm_planes(p["cwm5"], w5, nh[0]).astype(f32)
+
+    # level 4 (1/8)
+    m4w = wp(m4, flow)
+    w4 = attn(4, qscale(proj(4, f4, nh[1])), proj(4, m4w, nh[1]), nh[1])
+    w4 = cwm_planes(p["cwm4"], w4, nh[1]).astype(f32)
+    flow = wp(upsample2_planes(2 * flow), w4) + w4  # 1/4
+
+    # level 3 (1/4)
+    m3w = wp(m3, flow)
+    w3 = attn(3, qscale(proj(3, f3, nh[2])), proj(3, m3w, nh[2]), nh[2])
+    w3 = cwm_planes(p["cwm3"], w3, nh[2]).astype(f32)
+    flow = wp(upsample2_planes(2 * flow), w3) + w3  # 1/2
+
+    # level 2 (1/2): compose THEN upsample (reference quirk)
+    m2w = wp(m2, flow)
+    w2 = attn(2, qscale(proj(2, f2, nh[3])), proj(2, m2w, nh[3]), nh[3]).astype(f32)
+    flow = upsample2_planes(2 * (wp(flow, w2) + w2))  # full res
+
+    # level 1 (full)
+    m1w = wp(m1, flow)
+    w1 = attn(1, qscale(proj(1, f1, nh[4])), proj(1, m1w, nh[4]), nh[4]).astype(f32)
+    flow = wp(flow, w1) + w1
+
+    mv_planes = to_planes(moving)
+    y_moved = wp(mv_planes, flow)
+    return from_planes(y_moved), from_planes(flow)

@@ -48,7 +48,18 @@ class RDNEncoder(nn.Module):
 
 
 class Estimator(nn.Module):
-    """`Baseline methods/RDN/models.py:195-214`."""
+    """`Baseline methods/RDN/models.py:195-214`.
+
+    dropout_rate > 0 enables an MC-dropout head (after the activation,
+    before the flow conv) for the uncertainty protocol of
+    `RDN/utils.py:377-504`; stochastic only when the caller supplies a
+    "dropout" rng (``model.apply(params, m, f, rngs={"dropout": key})``).
+    The reference models.py ships no dropout layer itself — its utils
+    expect an externally dropout-enabled net — so the placement here is
+    our design choice, documented for the parity record.
+    """
+
+    dropout_rate: float = 0.0
 
     @nn.compact
     def __call__(self, fixed_fm, float_fm):
@@ -58,6 +69,10 @@ class Estimator(nn.Module):
         x = Conv3d(c, 3, 1, 1, name="conv_1")(x)
         x = Conv3d(c, 3, 1, 1, name="conv_2")(x)
         x = leaky_relu(x, 0.1)
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate)(
+                x, deterministic=not self.has_rng("dropout")
+            )
         return Conv3d(
             3, 3, 1, 1,
             kernel_init=normal_init(1e-5), bias_init=nn.initializers.zeros,
@@ -81,6 +96,8 @@ class RDN(nn.Module):
     share_weights: bool = True
     diff: bool = False
     return_aux: bool = True
+    # MC-dropout rate for the uncertainty protocol (0 = off; see Estimator)
+    dropout_rate: float = 0.0
 
     @nn.compact
     def __call__(self, moving, fixed):
@@ -95,7 +112,7 @@ class RDN(nn.Module):
             key = (level, 0 if self.share_weights else stage)
             if key not in ests:
                 name = f"est{level}" if self.share_weights else f"est{level}_{stage}"
-                ests[key] = Estimator(name=name)
+                ests[key] = Estimator(dropout_rate=self.dropout_rate, name=name)
             return ests[key]
 
         flow = None

@@ -51,6 +51,7 @@ def build_model(name: str, cfg) -> ModelSpec:
             num_heads=tuple(cfg.num_heads),
             qk_scale=cfg.qk_scale,
             attn_impl=attn_impl,
+            compute_dtype=getattr(cfg, "compute_dtype", "") or None,
         )
         return ModelSpec(module, ["ncc", "grad_l2"])
     if name == "im2grid":

@@ -63,10 +63,14 @@ def neighborhood_attention_3d(
     return _neighborhood_attention_xla(q, k, rpb, scale)
 
 
-def _neighborhood_attention_xla(q, k, rpb, scale):
+def _neighborhood_attention_xla(q, k, rpb, scale, k_prepadded_d: bool = False):
+    """``k_prepadded_d``: k already carries its 1-voxel D border (shape
+    D+2 along axis 1) — used by the spatial-sharding path, where the border
+    comes from a neighbor-shard halo exchange instead of zero padding."""
     b, d, h, w, heads, hd = q.shape
     qs = q * jnp.asarray(scale, q.dtype)
-    kp = jnp.pad(k, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0), (0, 0)))
+    d_pad = (0, 0) if k_prepadded_d else (1, 1)
+    kp = jnp.pad(k, ((0, 0), d_pad, (1, 1), (1, 1), (0, 0), (0, 0)))
     logits = []
     for od in range(3):
         for oh in range(3):

@@ -167,9 +167,11 @@ def warp(src: jax.Array, flow: jax.Array, mode: str = "bilinear", impl: str = "a
         rescaling applies (see module docstring).
       mode: "bilinear" (trilinear) or "nearest".
       impl: "auto" (packed row-gather for bilinear — TPU fast path),
-        "packed", "simple" (naive 8-corner gather; the reference oracle), or
+        "packed", "simple" (naive 8-corner gather; the reference oracle),
         "pallas" (windowed-DMA kernel, fastest for SMOOTH flows but clamps
-        tiles whose (d,h) spread exceeds its window — see kernels/warp3d.py).
+        tiles whose (d,h) spread exceeds its window — see kernels/warp3d.py),
+        or "guarded" (windowed kernel with a lax.cond fallback to packed
+        whenever any tile would clamp — exact for every flow).
 
     Returns:
       (B, D', H', W', C), zeros where the sample location falls outside.
@@ -178,12 +180,15 @@ def warp(src: jax.Array, flow: jax.Array, mode: str = "bilinear", impl: str = "a
         raise ValueError(f"warp expects NDHWC src and (...,3) flow, got {src.shape}, {flow.shape}")
     if impl == "auto":
         impl = WARP_IMPL
-    if mode == "bilinear" and impl == "pallas":
+    if mode == "bilinear" and impl in ("pallas", "guarded"):
         import jax as _jax
 
-        from smilecode_tpu.kernels.warp3d import warp3d_pallas
+        from smilecode_tpu.kernels.warp3d import warp3d_guarded, warp3d_pallas
 
-        return warp3d_pallas(src, flow, _jax.default_backend() != "tpu")
+        interp = _jax.default_backend() != "tpu"
+        if impl == "guarded":
+            return warp3d_guarded(src, flow, interp)
+        return warp3d_pallas(src, flow, interp)
     if mode == "bilinear" and impl in ("auto", "packed"):
         return _warp_bilinear_packed(src, flow)
     return _warp_simple(src, flow, mode)
@@ -198,9 +203,9 @@ def _warp_simple(src: jax.Array, flow: jax.Array, mode: str = "bilinear") -> jax
     """Naive per-corner gather implementation (oracle / nearest mode)."""
     if src.ndim != 5 or flow.ndim != 5 or flow.shape[-1] != 3:
         raise ValueError(f"warp expects NDHWC src and (...,3) flow, got {src.shape}, {flow.shape}")
-    b, sd, sh, sw, c = src.shape
+    b = src.shape[0]
+    sd, sh, sw = src.shape[1:4]
     fd, fh, fw = flow.shape[1:4]
-    n = fd * fh * fw
     compute_dtype = jnp.promote_types(flow.dtype, jnp.float32)
     coords = base_grid(fd, fh, fw, compute_dtype) + flow.astype(compute_dtype)
     if (fd, fh, fw) != (sd, sh, sw):
@@ -213,7 +218,20 @@ def _warp_simple(src: jax.Array, flow: jax.Array, mode: str = "bilinear") -> jax
             compute_dtype,
         )
         coords = coords * scale
-    coords = coords.reshape(b, n, 3)
+    return warp_coords(src, coords.reshape(b, fd * fh * fw, 3), (fd, fh, fw), mode)
+
+
+def warp_coords(src: jax.Array, coords: jax.Array, out_spatial, mode: str = "bilinear") -> jax.Array:
+    """Sample ``src`` at ABSOLUTE voxel coordinates (B, N, 3) -> out_spatial.
+
+    grid_sample semantics (align_corners=True, zeros outside). Used directly
+    by the spatial-sharding warp, where each shard samples a globally
+    gathered source at offset coordinates (`parallel/modet_sp.py`)."""
+    b, sd, sh, sw, c = src.shape
+    fd, fh, fw = out_spatial
+    n = fd * fh * fw
+    compute_dtype = jnp.promote_types(coords.dtype, jnp.float32)
+    coords = coords.astype(compute_dtype)
     src_flat = src.reshape(b, sd * sh * sw, c)
     sizes = jnp.array([sd, sh, sw], dtype=compute_dtype)
 

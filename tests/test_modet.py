@@ -52,6 +52,47 @@ def test_initial_flow_small(model_and_params):
     assert float(jnp.abs(flow).max()) < 1.0
 
 
+def test_bf16_compute_matches_f32(model_and_params):
+    """bf16 feature-path gate: flow endpoint differences vs f32 must stay
+    sub-voxel in bulk (mean / p99) on smooth, brain-like volumes. bf16
+    quantizes features by ~0.4%, which the attention cascade amplifies to
+    ~0.03 voxel mean / ~0.15 voxel p99 with isolated larger outliers where
+    near-tied attention decisions flip — hence percentile bounds, not max.
+    Flow composition itself stays f32 by design."""
+    model, params, *_ = model_and_params
+    g = np.stack(np.meshgrid(*[np.arange(s) for s in SHAPE], indexing="ij"), -1)
+
+    def smooth_vol(seed):
+        r = np.random.default_rng(seed)
+        v = np.zeros(SHAPE, np.float32)
+        for _ in range(30):
+            c, s, a = r.uniform(4, 28, 3), r.uniform(2, 6), r.uniform(0.3, 1.0)
+            v += a * np.exp(-np.sum((g - c) ** 2, -1) / (2 * s * s))
+        return ((v - v.min()) / (v.max() - v.min())).astype(np.float32)
+
+    moving = jnp.asarray(smooth_vol(1)[None, ..., None])
+    fixed = jnp.asarray(smooth_vol(2)[None, ..., None])
+
+    def excite(path, x):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "proj/kernel" in name or "rpb" in name:
+            return x + jax.random.normal(jax.random.PRNGKey(len(name)), x.shape) * 0.1
+        return x
+
+    eparams = jax.tree_util.tree_map_with_path(excite, params)
+    bf16 = ModeT(qk_scale=1.0, compute_dtype="bfloat16")
+    moved32, flow32 = model.apply(eparams, moving, fixed)
+    moved16, flow16 = bf16.apply(eparams, moving, fixed)
+    assert flow16.dtype == jnp.float32
+    assert moved16.dtype == jnp.float32
+    assert float(jnp.abs(flow32).max()) > 0.05
+    err = np.abs(np.asarray(flow16) - np.asarray(flow32))
+    assert float(err.mean()) < 0.06, err.mean()
+    assert float(np.percentile(err, 99)) < 0.3, np.percentile(err, 99)
+    merr = np.abs(np.asarray(moved16) - np.asarray(moved32))
+    assert float(np.percentile(merr, 99)) < 0.1, np.percentile(merr, 99)
+
+
 def test_train_loss_decreases(model_and_params):
     import optax
 

@@ -1,0 +1,68 @@
+"""Planes-layout ModeT forward == flax ModeT (same params, same numerics).
+
+On CPU the attention runs the interpret-mode Pallas kernel and warps run the
+coordinate oracle, so this validates the planes graph itself; the TPU fast
+path shares this exact code with only the warp/attention backends swapped.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from smilecode_tpu.models import ModeT
+from smilecode_tpu.models.modet_planes import (
+    modet_forward_planes,
+    upsample2_planes,
+    conv3_planes,
+    to_planes,
+    from_planes,
+)
+
+RNG = np.random.default_rng(7)
+SHAPE = (32, 32, 32)
+
+
+def test_upsample2_planes_matches_ndhwc():
+    from smilecode_tpu.ops.resize import upsample2_trilinear
+
+    x = jnp.asarray(RNG.standard_normal((1, 6, 10, 12, 5)).astype(np.float32))
+    ref = upsample2_trilinear(x)
+    out = from_planes(upsample2_planes(to_planes(x)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_conv3_planes_matches_xla_conv():
+    x = jnp.asarray(RNG.standard_normal((1, 8, 10, 8, 6)).astype(np.float32))
+    kern = jnp.asarray(RNG.standard_normal((3, 3, 3, 6, 4)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(RNG.standard_normal((4,)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, kern, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC")
+    ) + bias
+    out = from_planes(conv3_planes({"kernel": kern, "bias": bias}, to_planes(x)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_planes_forward_equals_flax():
+    model = ModeT(qk_scale=1.0)
+    moving = jnp.asarray(RNG.random((1, *SHAPE, 1), dtype=np.float64).astype(np.float32))
+    fixed = jnp.asarray(RNG.random((1, *SHAPE, 1), dtype=np.float64).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), moving, fixed)
+
+    def excite(path, x):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "proj/kernel" in name or "rpb" in name:
+            return x + jax.random.normal(jax.random.PRNGKey(len(name)), x.shape) * 0.1
+        return x
+
+    eparams = jax.tree_util.tree_map_with_path(excite, params)
+    ref_moved, ref_flow = model.apply(eparams, moving, fixed)
+    moved, flow = modet_forward_planes(eparams, moving, fixed, qk_scale=1.0)
+    assert float(jnp.abs(ref_flow).max()) > 1e-3
+    np.testing.assert_allclose(
+        np.asarray(flow), np.asarray(ref_flow), atol=2e-4, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(moved), np.asarray(ref_moved), atol=2e-4, rtol=1e-3
+    )

@@ -40,19 +40,43 @@ def test_kernel_no_rpb():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-4)
 
 
-def test_kernel_grads_match_oracle():
-    q = jnp.asarray(RNG.standard_normal((1, 4, 8, 4, 1, 6)).astype(np.float32))
-    k = jnp.asarray(RNG.standard_normal((1, 4, 8, 4, 1, 6)).astype(np.float32))
-    rpb = jnp.zeros((1, 3, 3, 3))
+@pytest.mark.parametrize(
+    "shape,heads,scale",
+    [((4, 8, 4), 1, 1.0), ((6, 10, 5), 2, 0.408)],
+)
+def test_kernel_grads_match_oracle(shape, heads, scale):
+    """Exercises the fused dq/dl/drpb + inverse-window dk kernels
+    (mirrors `modet_kernel.cu:156-381`) against oracle autodiff."""
+    d, h, w = shape
+    q = jnp.asarray(RNG.standard_normal((1, d, h, w, heads, 6)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((1, d, h, w, heads, 6)).astype(np.float32))
+    rpb = jnp.asarray((RNG.standard_normal((heads, 3, 3, 3)) * 0.2).astype(np.float32))
+    gcot = jnp.asarray(RNG.standard_normal((1, d, h, w, heads * 3)).astype(np.float32))
 
     def loss_pallas(q, k, r):
-        return jnp.sum(modet_attention_pallas(q, k, r, 1.0, True) ** 2)
+        return jnp.sum(modet_attention_pallas(q, k, r, scale, True) * gcot)
 
     def loss_oracle(q, k, r):
-        return jnp.sum(_neighborhood_attention_xla(q, k, r, 1.0) ** 2)
+        return jnp.sum(_neighborhood_attention_xla(q, k, r, scale) * gcot)
 
     g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, rpb)
     g2 = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, rpb)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+
+def test_kernel_grads_no_rpb():
+    q = jnp.asarray(RNG.standard_normal((1, 4, 8, 4, 1, 6)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((1, 4, 8, 4, 1, 6)).astype(np.float32))
+
+    def loss_pallas(q, k):
+        return jnp.sum(modet_attention_pallas(q, k, None, 1.0, True) ** 2)
+
+    def loss_oracle(q, k):
+        return jnp.sum(_neighborhood_attention_xla(q, k, None, 1.0) ** 2)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1))(q, k)
+    g2 = jax.grad(loss_oracle, argnums=(0, 1))(q, k)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
 

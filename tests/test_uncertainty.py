@@ -1,0 +1,118 @@
+"""MC-dropout uncertainty protocol parity (`RDN/utils.py:377-504`).
+
+uceloss / uncert_regression_gal / calc_uncert are checked numerically
+against inline torch transcriptions of the reference formulas; get_mc_preds
+is exercised end-to-end through a dropout-enabled RDN.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from smilecode_tpu.metrics_ext import (
+    calc_uncert,
+    get_mc_preds,
+    get_mc_preds_w_errors,
+    uceloss,
+    uncert_regression_gal,
+)
+
+RNG = np.random.default_rng(33)
+
+
+def _torch_uceloss(errors, uncert, n_bins=15):
+    import torch
+
+    errors = torch.from_numpy(errors)
+    uncert = torch.from_numpy(uncert)
+    bin_boundaries = torch.linspace(uncert.min().item(), uncert.max().item(), n_bins + 1)
+    uce = torch.zeros(1)
+    props, errs, uncs = [], [], []
+    for lo, hi in zip(bin_boundaries[:-1], bin_boundaries[1:]):
+        in_bin = uncert.gt(lo.item()) * uncert.le(hi.item())
+        prop = in_bin.float().mean()
+        props.append(prop)
+        if prop.item() > 0.0:
+            e = errors[in_bin].float().mean()
+            u = uncert[in_bin].mean()
+            uce += torch.abs(u - e) * prop
+            errs.append(e)
+            uncs.append(u)
+    return float(uce), np.array(errs), np.array(uncs), np.array(props)
+
+
+def test_uceloss_matches_torch_reference():
+    errors = (RNG.random(5000) * 0.2).astype(np.float32)
+    uncert = (RNG.random(5000) * 0.15).astype(np.float32)
+    uce, e_b, u_b, p_b = uceloss(errors, uncert)
+    t_uce, t_e, t_u, t_p = _torch_uceloss(errors, uncert)
+    assert abs(uce - t_uce) < 1e-5
+    np.testing.assert_allclose(e_b, t_e, atol=1e-5)
+    np.testing.assert_allclose(u_b, t_u, atol=1e-5)
+    np.testing.assert_allclose(p_b, t_p, atol=1e-6)
+
+
+def test_uncert_regression_gal_matches_torch_reference():
+    import torch
+
+    # reference consumes NCDHW samples: channels [:-1] = prediction,
+    # [-1:] = aleatoric head; ours is channels-last
+    samples_nchw = RNG.random((8, 4, 6, 6, 6)).astype(np.float32)
+    img_list_t = [torch.from_numpy(s[None]) for s in samples_nchw]
+
+    cat = torch.cat(img_list_t, dim=0)
+    t_mean = cat[:, :-1].mean(dim=0, keepdim=True)
+    t_ale = cat[:, -1:].mean(dim=0, keepdim=True)
+    t_epi = torch.var(cat[:, :-1], dim=0, keepdim=True).mean(dim=1, keepdim=True)
+    t_uncert = t_ale + t_epi
+
+    samples_last = np.moveaxis(samples_nchw, 1, -1)
+    ale, epi, unc = uncert_regression_gal(list(samples_last), reduction="none")
+    np.testing.assert_allclose(
+        ale[..., 0], t_ale.numpy()[0, 0], atol=1e-5
+    )
+    # torch.var defaults to unbiased; ours is np.var (biased) — compare with
+    # correction factor n/(n-1)
+    n = samples_nchw.shape[0]
+    np.testing.assert_allclose(
+        epi[..., 0] * n / (n - 1), t_epi.numpy()[0, 0], atol=1e-5, rtol=1e-4
+    )
+    am, em, um = uncert_regression_gal(list(samples_last), reduction="mean")
+    assert abs(am - float(t_ale.mean())) < 1e-6
+
+
+def test_calc_uncert_matches_reference_formula():
+    tar = RNG.random((1, 6, 6, 6, 1)).astype(np.float32)
+    imgs = [RNG.random((1, 6, 6, 6, 1)).astype(np.float32) for _ in range(5)]
+    u = calc_uncert(tar, imgs)
+    ref = np.mean(np.stack([(i - tar) ** 2 for i in imgs]), axis=0)
+    np.testing.assert_allclose(u[0], ref, atol=1e-6)
+
+
+def test_mc_dropout_rdn_end_to_end():
+    from smilecode_tpu.models import RDN
+
+    shape = (16, 16, 16)
+    model = RDN(stages=1, levels=(1, 1, 1, 1), dropout_rate=0.3, return_aux=False)
+    m = jnp.asarray(RNG.random((1, *shape, 1)).astype(np.float32))
+    f = jnp.asarray(RNG.random((1, *shape, 1)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), m, f)
+
+    def apply_fn(moving, fixed, key):
+        return model.apply(params, moving, fixed, rngs={"dropout": key})
+
+    imgs, flows = get_mc_preds(apply_fn, m, f, mc_iter=4, rng=jax.random.PRNGKey(1))
+    assert len(imgs) == 4 and len(flows) == 4
+    # stochastic: different draws differ
+    assert np.abs(imgs[0] - imgs[1]).max() > 0
+    # deterministic without a dropout rng
+    d1 = model.apply(params, m, f)
+    d2 = model.apply(params, m, f)
+    np.testing.assert_array_equal(np.asarray(d1[0]), np.asarray(d2[0]))
+
+    imgs2, flows2, errs = get_mc_preds_w_errors(
+        apply_fn, m, f, f, mc_iter=3, rng=jax.random.PRNGKey(2)
+    )
+    assert len(errs) == 3 and all(np.isfinite(errs))

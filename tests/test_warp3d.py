@@ -63,3 +63,35 @@ def test_grad_via_custom_vjp():
     g1 = jax.grad(lambda f: jnp.sum(warp3d_pallas(src, f, True) ** 2))(fl)
     g2 = jax.grad(lambda f: jnp.sum(_warp_simple(src, f) ** 2))(fl)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=1e-3)
+
+
+def test_guarded_smooth_uses_kernel_and_matches():
+    """Smooth flow (no violations) -> guarded == windowed == oracle."""
+    from smilecode_tpu.kernels.warp3d import warp3d_guarded
+
+    src = jnp.asarray(RNG.standard_normal((1, 16, 16, 16, 2)).astype(np.float32))
+    flow = smooth_flow((16, 16, 16), 2.0, 4)
+    assert float(warp_window_violations(flow)) == 0.0
+    out = warp3d_guarded(src, flow, True)
+    ref = _warp_simple(src, flow)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-4)
+
+
+def test_guarded_wild_flow_falls_back_exact():
+    """Wild flow (tiles would clamp) -> guarded falls back to packed = exact."""
+    from smilecode_tpu.kernels.warp3d import warp3d_guarded
+
+    src = jnp.asarray(RNG.standard_normal((1, 16, 16, 16, 1)).astype(np.float32))
+    flow = jnp.asarray((RNG.standard_normal((1, 16, 16, 16, 3)) * 30).astype(np.float32))
+    assert float(warp_window_violations(flow)) > 0.0
+    out = jax.jit(lambda s, f: warp3d_guarded(s, f, True))(src, flow)
+    ref = _warp_simple(src, flow)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-4)
+
+
+def test_warp_dispatch_guarded():
+    src = jnp.asarray(RNG.standard_normal((1, 16, 16, 16, 1)).astype(np.float32))
+    flow = smooth_flow((16, 16, 16), 1.5, 4)
+    out = warp(src, flow, impl="guarded")
+    ref = warp(src, flow, impl="simple")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-4)
