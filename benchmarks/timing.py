@@ -45,7 +45,12 @@ def bench_op(fn, make_inputs, k: int = 4, iters: int = 3, overhead_ms: float | N
         acc = jnp.zeros((), jnp.float32)
         for i in range(k):
             args = list(args_flat[i * per_call : (i + 1) * per_call])
-            args[0] = args[0] + acc * 0  # serialize
+            # serialize iterations without touching the data: an
+            # optimization_barrier ties args[0] to acc (an `+ acc*0` add
+            # forced a copy of the input in whatever layout XLA picked —
+            # 16x padded for C=8 NDHWC, 2.2 GB of pure benchmarking
+            # artifact in one on-chip OOM dump)
+            args[0], _ = jax.lax.optimization_barrier((args[0], acc))
             out = fn(*args)
             leaves = jax.tree.leaves(out)
             acc = acc + sum(jnp.sum(l) for l in leaves)

@@ -37,6 +37,9 @@ class TrainConfig:
     # "" = float32; "bfloat16" runs the feature path in bf16 (flow
     # composition stays f32; see models/modet.py)
     compute_dtype: str = ""
+    # "auto": planes-layout decoder on TPU (single-chip); "planes": force;
+    # "off": flax module
+    fast_path: str = "auto"
     # dataset variant: "s2s" (all ordered pairs), "half" (stride-2
     # downsampled pairs), "atlas" (register every subject to one atlas)
     dataset: str = "s2s"

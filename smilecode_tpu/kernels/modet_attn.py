@@ -64,12 +64,14 @@ def _attn_kernel(hd: int, heads: int, wp: int, hb: int,
     copy.wait()
 
     # 27 logit slabs + running max; full wp lanes (pad lanes hold garbage
-    # that is sliced away after the pallas_call)
+    # that is sliced away after the pallas_call). q/k may be stored bf16
+    # (halves the HBM-side buffers); logits always accumulate f32.
+    f32 = jnp.float32
     m = None
     for t, (od, oh, ow) in enumerate(_OFFSETS):
-        acc = q_ref[0, 0, 0] * ksc[od, 0, oh:oh + hb, ow:ow + wp]
+        acc = q_ref[0, 0, 0].astype(f32) * ksc[od, 0, oh:oh + hb, ow:ow + wp].astype(f32)
         for c in range(1, hd):
-            acc += q_ref[0, 0, c] * ksc[od, c, oh:oh + hb, ow:ow + wp]
+            acc += q_ref[0, 0, c].astype(f32) * ksc[od, c, oh:oh + hb, ow:ow + wp].astype(f32)
         acc += rpb_ref[head, t]
         lsc[t] = acc
         m = acc if m is None else jnp.maximum(m, acc)
@@ -111,15 +113,18 @@ def modet_attention_planes(qs, kplanes, rpb, heads: int, scale: float = 1.0,
     """
     bh, d, hd, h, w = qs.shape
     dt = jnp.float32
+    # bf16 inputs keep their dtype on the HBM side (halves the padded q/k
+    # buffers — the biggest planes-path allocations); compute stays f32
+    io_dt = qs.dtype if qs.dtype == jnp.bfloat16 else dt
     wp = _round_up(w, 128)
     wpk = wp + 128
     hp = _round_up(h, 8)
     hb = _pick_h_block(hp)
 
-    qs = (qs.astype(dt) * dt(scale))
+    qs = (qs * qs.dtype.type(scale)).astype(io_dt)
     qs = jnp.pad(qs, ((0, 0),) * 3 + ((0, hp - h), (0, wp - w)))
     kp = jnp.pad(
-        kplanes.astype(dt),
+        kplanes.astype(io_dt),
         ((0, 0), (1, 1), (0, 0), (1, hp + 7 - h), (1, wpk - w - 1)),
     )
 
@@ -145,7 +150,7 @@ def modet_attention_planes(qs, kplanes, rpb, heads: int, scale: float = 1.0,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bh, 3, d, hp, wp), dt),
         scratch_shapes=[
-            pltpu.VMEM((3, hd, hb + 8, wpk), dt),  # k window
+            pltpu.VMEM((3, hd, hb + 8, wpk), io_dt),  # k window
             pltpu.VMEM((27, hb, wp), dt),  # logits
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -202,9 +207,10 @@ def _bwd1_kernel(hd: int, heads: int, wp: int, hb: int, h: int, w: int, scale: f
     inv = 1.0 / s
 
     # d_attn_t = sum_c g_c * offset_t[c]; S = sum_u p_u d_attn_u
+    # (g block is (1, 3, 1, hb, wp): component axis at dim 1)
     g0 = g_ref[0, 0, 0]
-    g1 = g_ref[0, 0, 1]
-    g2 = g_ref[0, 0, 2]
+    g1 = g_ref[0, 1, 0]
+    g2 = g_ref[0, 2, 0]
     S = jnp.zeros((hb, wp), jnp.float32)
     for t, (od, oh, ow) in enumerate(_OFFSETS):
         da = (od - 1) * g0 + (oh - 1) * g1 + (ow - 1) * g2
@@ -264,9 +270,29 @@ def _bwd2_kernel(hd: int, wp: int, hb: int, scale: float,
 
 
 def _backward(q, k, rpb, scale, g, interpret=False):
-    """Fused backward: returns (dq, dk, drpb?) matching the oracle VJP."""
+    """NDHWC fused backward: returns (dq, dk, drpb?) matching the oracle VJP."""
     b, d, h, w, heads, hd = q.shape
     bh = b * heads
+    qs = q.transpose(0, 4, 1, 5, 2, 3).reshape(bh, d, hd, h, w)
+    kpl = k.transpose(0, 4, 1, 5, 2, 3).reshape(bh, d, hd, h, w)
+    gs = g.reshape(b, d, h, w, heads, 3).transpose(0, 4, 5, 1, 2, 3)
+    gs = gs.reshape(bh, 3, d, h, w)
+    dq, dk, drpb = _backward_planes(qs, kpl, rpb, heads, scale, gs, interpret)
+
+    def unplanes(x):
+        x = x.reshape(b, heads, d, hd, h, w)
+        return x.transpose(0, 2, 4, 5, 1, 3).astype(q.dtype)
+
+    if rpb is None:
+        return unplanes(dq), unplanes(dk), None
+    return unplanes(dq), unplanes(dk), drpb.astype(rpb.dtype)
+
+
+def _backward_planes(qs, kpl, rpb, heads, scale, gs, interpret=False):
+    """Planes-layout fused backward. qs/kpl: (BH, D, hd, H, W) UNSCALED;
+    gs: (BH, 3, D, H, W) output cotangent. Returns planes (dq, dk, drpb)."""
+    bh, d, hd, h, w = qs.shape
+    b = bh // heads
     dt = jnp.float32
     wp = _round_up(w, 128)
     wpk = wp + 128
@@ -275,15 +301,12 @@ def _backward(q, k, rpb, scale, g, interpret=False):
     nblk = hp // hb
 
     # layouts identical to the forward
-    qs = q.astype(dt).transpose(0, 4, 1, 5, 2, 3).reshape(bh, d, hd, h, w)
-    qs = jnp.pad(qs, ((0, 0),) * 3 + ((0, hp - h), (0, wp - w)))
+    qs = jnp.pad(qs.astype(dt), ((0, 0),) * 3 + ((0, hp - h), (0, wp - w)))
     kp = jnp.pad(
-        k.astype(dt).transpose(0, 4, 1, 5, 2, 3).reshape(bh, d, hd, h, w),
+        kpl.astype(dt),
         ((0, 0), (1, 1), (0, 0), (1, hp + 7 - h), (1, wpk - w - 1)),
     )
-    gs = g.astype(dt).reshape(b, d, h, w, heads, 3).transpose(0, 4, 1, 5, 2, 3)
-    gs = gs.reshape(bh, d, 3, h, w)
-    gs = jnp.pad(gs, ((0, 0),) * 3 + ((0, hp - h), (0, wp - w)))
+    gs = jnp.pad(gs.astype(dt), ((0, 0),) * 3 + ((0, hp - h), (0, wp - w)))
 
     if rpb is None:
         rpb_flat = jnp.zeros((heads, 27), dt)
@@ -299,13 +322,18 @@ def _backward(q, k, rpb, scale, g, interpret=False):
     blkspec = lambda nc: pl.BlockSpec(
         (1, 1, nc, hb, wp), lambda i, j, hblk: (i, j, 0, hblk, 0), memory_space=pltpu.VMEM
     )
+    # g arrives (BH, 3, D, H, W) — component axis outside the spatial block,
+    # matching the planes forward output layout
+    g_spec = pl.BlockSpec(
+        (1, 3, 1, hb, wp), lambda i, j, hblk: (i, 0, j, hblk, 0), memory_space=pltpu.VMEM
+    )
     dq, dl, drpb_parts = pl.pallas_call(
         kern1,
         grid=(bh, d, nblk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # rpb
             blkspec(hd),  # q (scaled)
-            blkspec(3),   # g planes
+            g_spec,       # g planes
             pl.BlockSpec(memory_space=pltpu.ANY),  # k padded, HBM
         ],
         out_specs=[
@@ -350,17 +378,12 @@ def _backward(q, k, rpb, scale, g, interpret=False):
         interpret=interpret,
     )(dlp, qp)
 
-    def unplanes(x):
-        x = x[..., :h, :w].reshape(b, heads, d, hd, h, w)
-        return x.transpose(0, 2, 4, 5, 1, 3).astype(q.dtype)
-
-    dq_out = unplanes(dq)
-    dk_out = unplanes(dk)
+    dq_out = dq[..., :h, :w]
+    dk_out = dk[..., :h, :w]
     if rpb is None:
         return dq_out, dk_out, None
     drpb = jnp.sum(drpb_parts.reshape(b, heads, d, nblk, 27), axis=(0, 2, 3))
-    drpb = drpb.reshape(heads, 3, 3, 3).astype(rpb.dtype)
-    return dq_out, dk_out, drpb
+    return dq_out, dk_out, drpb.reshape(heads, 3, 3, 3)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -385,3 +408,33 @@ def _bwd(scale, interpret, res, g):
 
 
 modet_attention_pallas.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def modet_attention_planes_diff(qs, kplanes, rpb, heads: int, scale: float = 1.0,
+                                interpret: bool = False):
+    """Differentiable planes-layout attention: same contract as
+    `modet_attention_planes`, with the fused Pallas backward (B1/B2) wired
+    natively in planes — no relayout on either pass. Used by the planes
+    training path."""
+    return modet_attention_planes(qs, kplanes, rpb, heads, scale, interpret)
+
+
+def _fwd_planes(qs, kplanes, rpb, heads, scale, interpret):
+    out = modet_attention_planes(qs, kplanes, rpb, heads, scale, interpret)
+    return out, (qs, kplanes, rpb)
+
+
+def _bwd_planes(heads, scale, interpret, res, g):
+    qs, kplanes, rpb = res
+    dq, dk, drpb = _backward_planes(
+        qs, kplanes, rpb, heads, scale, g, interpret
+    )
+    dq = dq.astype(qs.dtype)
+    dk = dk.astype(kplanes.dtype)
+    if rpb is None:
+        return dq, dk, None
+    return dq, dk, drpb.astype(rpb.dtype)
+
+
+modet_attention_planes_diff.defvjp(_fwd_planes, _bwd_planes)

@@ -179,8 +179,11 @@ def warp3d_planes(planes, cd, ch, cw, c: int, interpret: bool = False):
     sdp = sd + 3
     shp = _round_up(sh + 3, 8)
     swp = _round_up(sw + 3, 128)
+    # bf16 sources stay bf16 in HBM and in the DMA window (halves the padded
+    # source buffer + window traffic); interpolation still accumulates f32
+    io_dt = planes.dtype if planes.dtype == jnp.bfloat16 else jnp.float32
     planes = jnp.pad(
-        planes.astype(jnp.float32), ((0, 0), (1, 2), (1, shp - sh - 1), (1, swp - sw - 1))
+        planes.astype(io_dt), ((0, 0), (1, 2), (1, shp - sh - 1), (1, swp - sw - 1))
     )
 
     kd_n = min(KD, sdp)
@@ -203,7 +206,7 @@ def warp3d_planes(planes, cd, ch, cw, c: int, interpret: bool = False):
         ),
         out_shape=jax.ShapeDtypeStruct((bc, fd, fhp, fwp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((kd_n, kha_n, swp), jnp.float32),
+            pltpu.VMEM((kd_n, kha_n, swp), io_dt),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -248,17 +251,22 @@ warp3d_pallas.defvjp(_fwd, _bwd)
 def warp3d_guarded(src, flow, interpret: bool = False):
     """Windowed kernel with an exactness guard: if ANY output tile's (d, h)
     cell spread exceeds the window budget (where the windowed kernel would
-    clamp), fall back to the packed row-gather path for the whole call via
+    clamp), fall back to the naive-gather oracle for the whole call via
     `lax.cond`. Exact for every flow; fast (windowed) for the smooth flows
     registration actually produces. The guard itself is one cheap pass over
     the flow (round-1 verdict weak #5: the fast path was shelf-ware without
-    this)."""
-    from smilecode_tpu.ops.warp import _warp_bilinear_packed
+    this).
+
+    The fallback is `_warp_simple` (slow but exact and memory-light), NOT
+    the packed path: an on-chip OOM dump showed the packed branch holds a
+    2.3 GB rows copy plus 8 pack pieces at 8x lane-padding (~9.7 GB at C=8)
+    inside the cond — the compiler plans allocations for BOTH branches."""
+    from smilecode_tpu.ops.warp import _warp_simple
 
     viol = warp_window_violations(flow, src.shape[1:4])
     return jax.lax.cond(
         viol > 0,
-        _warp_bilinear_packed,
+        _warp_simple,
         lambda s, f: warp3d_pallas(s, f, interpret),
         src,
         flow,

@@ -21,9 +21,11 @@ both Pallas kernels already use internally:
     (transpose -> packed -> transpose) fallback branch.
 
 Numerics match `models.modet.ModeT` (same params, same graph, same op
-semantics); equality is tested in tests/test_modet_planes.py. Forward/
-inference only — training uses the flax model (whose attention has the
-fused backward kernels).
+semantics); equality is tested in tests/test_modet_planes.py. The path is
+DIFFERENTIABLE: attention uses `modet_attention_planes_diff` (fused Pallas
+B1/B2 backward, natively planes) and the hardware warp carries a custom VJP
+through the oracle-equivalent warp — so training can run the planes graph
+too (`train.py fast_path=planes`).
 
 Reference hot path: `/root/reference/ModeT/models.py:337-412`.
 """
@@ -37,7 +39,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from smilecode_tpu.kernels.modet_attn import modet_attention_planes
+from smilecode_tpu.kernels.modet_attn import modet_attention_planes_diff
 from smilecode_tpu.kernels.warp3d import warp3d_planes, KD, KHA, HB
 
 
@@ -161,13 +163,40 @@ def upsample2_planes(x):
     return jnp.einsum("bcdhw,wv->bcdhv", x, g)
 
 
-def warp_planes(src, flow, on_tpu: bool, guarded: bool = True):
-    """Warp planes src (B, C, D, H, W) by planes flow (B, 3, D, H, W).
+def _warp_planes_ref(src, flow):
+    """Oracle-equivalent planes warp (differentiable XLA path): used as the
+    backward recompute of the hardware warp and as the CPU path."""
+    from smilecode_tpu.ops.warp import warp_coords
 
-    TPU: windowed kernel on planes; when guarded, a violation check routes
-    wild flows through the exact packed path (transposed) instead.
-    CPU/other: oracle path via NDHWC (used by the equality tests)."""
     b, c, d, h, w = src.shape
+    base_d = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 1)
+    base_h = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 2)
+    base_w = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 3)
+    fl = flow.astype(jnp.float32)
+    coords = jnp.stack(
+        [base_d + fl[:, 0], base_h + fl[:, 1], base_w + fl[:, 2]], axis=-1
+    ).reshape(b, d * h * w, 3)
+    return to_planes(warp_coords(from_planes(src), coords, (d, h, w)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _warp_planes_hw(src, flow, guarded: bool):
+    """Hardware planes warp. Impl chosen by channel count (measured on-chip,
+    smooth flows at 160x192x160: windowed 59/187 ms at C=1/3 vs packed
+    96/172 — the windowed kernel's lane shuffles repeat per channel, so it
+    only wins for C<=2): windowed (+ optional guarded exact fallback) for
+    small C, the packed row-gather via one transpose pair for larger C.
+    Backward = VJP of the oracle-equivalent warp (exact)."""
+    b, c, d, h, w = src.shape
+
+    # threshold 4: windowed C=3 (187 ms) ~ packed C=3 (172 ms) but avoids
+    # the pack-piece memory; for C>=8 packed is ~2.6x faster than windowed
+    if c > 4:
+        from smilecode_tpu.ops.warp import _warp_bilinear_packed
+
+        out = _warp_bilinear_packed(from_planes(src), from_planes(flow))
+        return to_planes(out)
+
     base_d = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 1)
     base_h = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 2)
     base_w = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 3)
@@ -175,14 +204,6 @@ def warp_planes(src, flow, on_tpu: bool, guarded: bool = True):
     cd = base_d + fl[:, 0]
     ch = base_h + fl[:, 1]
     cw = base_w + fl[:, 2]
-
-    if not on_tpu:
-        from smilecode_tpu.ops.warp import warp_coords
-
-        coords = jnp.stack([cd, ch, cw], axis=-1).reshape(b, d * h * w, 3)
-        out = warp_coords(from_planes(src), coords, (d, h, w))
-        return to_planes(out)
-
     planes = src.reshape(b * c, d, h, w)
 
     def windowed(pl_, cd_, ch_, cw_):
@@ -193,15 +214,43 @@ def warp_planes(src, flow, on_tpu: bool, guarded: bool = True):
         return out.reshape(b, c, d, h, w).astype(src.dtype)
 
     def fallback(pl_, cd_, ch_, cw_):
-        from smilecode_tpu.ops.warp import _warp_bilinear_packed
+        # naive-gather oracle: slow but exact and memory-light — the packed
+        # path inside a cond branch holds multi-GB pack temps (see
+        # kernels/warp3d.warp3d_guarded)
+        from smilecode_tpu.ops.warp import warp_coords
 
         src5 = from_planes(pl_.reshape(b, c, d, h, w))
-        flow5 = from_planes(jnp.stack([cd_ - base_d[0], ch_ - base_h[0], cw_ - base_w[0]], 1))
-        return to_planes(_warp_bilinear_packed(src5, flow5)).reshape(b * c, d, h, w)
+        coords = jnp.stack([cd_, ch_, cw_], axis=-1).reshape(b, d * h * w, 3)
+        out = warp_coords(src5, coords, (d, h, w))
+        return to_planes(out).reshape(b * c, d, h, w).astype(jnp.float32)
 
     viol = _violations_from_coords(cd, ch, d, h, w)
     out = jax.lax.cond(viol > 0, fallback, windowed, planes, cd, ch, cw)
     return out.reshape(b, c, d, h, w).astype(src.dtype)
+
+
+def _warp_hw_fwd(src, flow, guarded):
+    return _warp_planes_hw(src, flow, guarded), (src, flow)
+
+
+def _warp_hw_bwd(guarded, res, g):
+    src, flow = res
+    _, vjp = jax.vjp(_warp_planes_ref, src, flow)
+    return vjp(g)
+
+
+_warp_planes_hw.defvjp(_warp_hw_fwd, _warp_hw_bwd)
+
+
+def warp_planes(src, flow, on_tpu: bool, guarded: bool = True):
+    """Warp planes src (B, C, D, H, W) by planes flow (B, 3, D, H, W).
+
+    TPU: windowed kernel on planes (custom VJP via the oracle warp); when
+    guarded, a violation check routes wild flows through the exact packed
+    path instead. CPU/other: oracle path (used by the equality tests)."""
+    if not on_tpu:
+        return _warp_planes_ref(src, flow)
+    return _warp_planes_hw(src, flow, guarded)
 
 
 def _violations_from_coords(cd, ch, sd, sh, sw):
@@ -270,7 +319,7 @@ def modet_forward_planes(
     f1, f2, f3, f4, f5 = [to_planes(f) for f in enc.apply(enc_params, fx_in)]
 
     def attn(level, q, k, heads):
-        out = modet_attention_planes(
+        out = modet_attention_planes_diff(
             q, k, p[f"mdt{level}"].get("rpb"), heads, 1.0, not on_tpu
         )
         bh = out.shape[0]

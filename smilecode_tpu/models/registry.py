@@ -29,12 +29,15 @@ CRITERIA = {"ncc": _ncc, "grad_l2": _grad_l2}
 
 
 class ModelSpec:
-    def __init__(self, module, criterions, select_train_outputs=None):
+    def __init__(self, module, criterions, select_train_outputs=None, fast_forward=None):
         self.module = module
         self.criterions = criterions  # list of criterion names, index-aligned
         # optional reordering/slicing of model outputs before loss application
         # (e.g. RCN drops the composed flow: output[0:1] + output[2:])
         self.select_train_outputs = select_train_outputs or (lambda outs: outs)
+        # optional layout-optimized forward (params, moving, fixed) -> outputs
+        # equal to module.apply (ModeT: the planes-layout decoder)
+        self.fast_forward = fast_forward
 
 
 def build_model(name: str, cfg) -> ModelSpec:
@@ -53,7 +56,18 @@ def build_model(name: str, cfg) -> ModelSpec:
             attn_impl=attn_impl,
             compute_dtype=getattr(cfg, "compute_dtype", "") or None,
         )
-        return ModelSpec(module, ["ncc", "grad_l2"])
+
+        def fast_forward(params, moving, fixed):
+            from smilecode_tpu.models.modet_planes import modet_forward_planes
+
+            return modet_forward_planes(
+                params, moving, fixed,
+                channels=cfg.channels, head_dim=cfg.head_dim,
+                num_heads=tuple(cfg.num_heads), qk_scale=cfg.qk_scale,
+                compute_dtype=getattr(cfg, "compute_dtype", "") or None,
+            )
+
+        return ModelSpec(module, ["ncc", "grad_l2"], fast_forward=fast_forward)
     if name == "im2grid":
         from smilecode_tpu.models.im2grid import Im2grid
 

@@ -227,6 +227,9 @@ def modet_forward_spatial(
         out_specs=(spec, spec),
         check_vma=False,
     )
+    # (re)place everything on THIS mesh — callers may hold params/inputs on
+    # a different (e.g. wider data-parallel) mesh
+    p = jax.device_put(p, NamedSharding(mesh, P()))
     moving = jax.device_put(moving, NamedSharding(mesh, spec))
     fixed = jax.device_put(fixed, NamedSharding(mesh, spec))
     return run(p, moving, fixed)

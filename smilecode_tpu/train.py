@@ -70,14 +70,19 @@ def resolve_weights(weights, n_criterions: int) -> list[float]:
     return weights[:n_criterions]
 
 
-def make_train_step(spec, tx, weights):
+def make_train_step(spec, tx, weights, use_fast: bool = False):
     criterions = [CRITERIA[c] for c in spec.criterions]
     weights = resolve_weights(weights, len(criterions))
+    forward = (
+        spec.fast_forward
+        if (use_fast and getattr(spec, "fast_forward", None))
+        else (lambda p, x, y: spec.module.apply(p, x, y))
+    )
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, x, y):
         def loss_fn(p):
-            outs = spec.module.apply(p, x, y)
+            outs = forward(p, x, y)
             outs = spec.select_train_outputs(outs)
             assert len(outs) >= len(criterions), (
                 f"model returned {len(outs)} train outputs for "
@@ -162,7 +167,12 @@ def main(cfg: TrainConfig):
     val_loader = Loader(val_set, batch_size=1, shuffle=False, num_workers=cfg.num_workers,
                         drop_last=True)
 
-    train_step = make_train_step(spec, tx, list(cfg.weights))
+    fast = getattr(cfg, "fast_path", "off")
+    use_fast = fast == "planes" or (fast == "auto" and jax.default_backend() == "tpu")
+    if use_fast and cfg.dp > 1:
+        # the planes path is single-device for now (no sharding annotations)
+        use_fast = False
+    train_step = make_train_step(spec, tx, list(cfg.weights), use_fast=use_fast)
     eval_step = make_eval_step(spec)
 
     for epoch in range(epoch_start, cfg.max_epoch):

@@ -148,6 +148,7 @@ def test_prnetplusplus_parity():
     assert_parity(tmodel, PRNetPlusPlus(), shape, "prnetplusplus")
 
 
+@pytest.mark.slow
 def test_vtn_parity():
     ref = load_ref("RCN")
     import torch
@@ -160,6 +161,7 @@ def test_vtn_parity():
     assert_parity(tmodel, VTN(), shape, "vtn")
 
 
+@pytest.mark.slow
 def test_rcn_parity():
     ref = load_ref("RCN")
     import torch

@@ -52,6 +52,7 @@ def test_initial_flow_small(model_and_params):
     assert float(jnp.abs(flow).max()) < 1.0
 
 
+@pytest.mark.slow
 def test_bf16_compute_matches_f32(model_and_params):
     """bf16 feature-path gate: flow endpoint differences vs f32 must stay
     sub-voxel in bulk (mean / p99) on smooth, brain-like volumes. bf16

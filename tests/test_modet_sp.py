@@ -40,6 +40,7 @@ def modet_ref():
 
 
 @pytest.mark.parametrize("n_spatial", [2])
+@pytest.mark.slow
 def test_sharded_equals_unsharded(modet_ref, n_spatial):
     model, params, moving, fixed, ref_moved, ref_flow = modet_ref
     mesh = make_mesh(dp=1, spatial=n_spatial)
