@@ -31,13 +31,19 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 BASELINE_MS = 50.0
 SHAPE = (160, 192, 160)
-# (repetition factor K, warp impl): the packed warp is the default; the
-# windowed "pallas" warp needs far less HBM (no pack builds) and is exact
-# whenever no tile violates its window budget (bench flows are near-zero at
-# init, so violations = 0) — it is the last-resort config when the chip's
-# free HBM is too low for the packed path (observed transiently on the
-# shared tunnel).
-ATTEMPTS = ((4, "packed"), (2, "packed"), (1, "packed"), (2, "pallas"), (1, "pallas"))
+# (repetition factor K, impl): "planes" = the planes-layout decoder +
+# s2d-resident encoder (models/modet_planes.py) — the production inference
+# path, equality-tested against the reference-parity flax graph (2e-4) and
+# measured 511 ms/pair vs 650 for the flax-packed graph (round 2). Fallbacks
+# descend K and then the older flax configs ("packed" row-gather warps,
+# "pallas" windowed warps — least HBM).
+ATTEMPTS = (
+    (2, "planes"),
+    (1, "planes"),
+    (2, "packed"),
+    (1, "packed"),
+    (1, "pallas"),
+)
 
 
 def measure(k: int, impl: str = "packed") -> float:

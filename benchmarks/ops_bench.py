@@ -95,6 +95,7 @@ def bench_conv(oh):
 
 def bench_encoder(oh):
     from smilecode_tpu.models import Encoder
+    from smilecode_tpu.ops.encoder_s2d import encoder_s2d_apply
 
     enc = Encoder()
     params = enc.init(jax.random.PRNGKey(0), _vol(1))
@@ -105,6 +106,13 @@ def bench_encoder(oh):
 
         ms = bench_op(f, lambda dt=dt: [_vol(1, dtype=dt)], k=2, overhead_ms=oh)
         print(f"encoder fullres {dt.__name__:9s}: {ms:8.2f} ms")
+
+    for dt in (jnp.float32, jnp.bfloat16):
+        def f2(x):
+            return encoder_s2d_apply(params["params"], x)
+
+        ms = bench_op(f2, lambda dt=dt: [_vol(1, dtype=dt)], k=2, overhead_ms=oh)
+        print(f"encoder s2d-resident {dt.__name__:9s}: {ms:8.2f} ms")
 
 
 if __name__ == "__main__":

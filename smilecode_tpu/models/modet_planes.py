@@ -307,16 +307,28 @@ def modet_forward_planes(
     scale = qk_scale or head_dim ** -0.5
     cd = jnp.dtype(compute_dtype) if compute_dtype else None
 
-    # encoder: flax NDHWC module reused as-is (XLA convs); features are
-    # transposed ONCE per level into planes
-    from smilecode_tpu.models.modet import Encoder
-
-    enc = Encoder(first_out_channel=channels)
-    enc_params = {"params": p["encoder"]}
+    # encoder: s2d-resident conv chain (kills the 16x HBM padding of tiny-
+    # channel C-minor conv intermediates; see ops/encoder_s2d.py) when the
+    # volume dims allow; features are transposed ONCE per level into planes
     mv_in = moving.astype(cd) if cd else moving
     fx_in = fixed.astype(cd) if cd else fixed
-    m1, m2, m3, m4, m5 = [to_planes(f) for f in enc.apply(enc_params, mv_in)]
-    f1, f2, f3, f4, f5 = [to_planes(f) for f in enc.apply(enc_params, fx_in)]
+    dims_ok = all(s % 8 == 0 for s in moving.shape[1:4])
+    if dims_ok:
+        from smilecode_tpu.ops.encoder_s2d import encoder_s2d_apply
+
+        enc_apply = functools.partial(
+            encoder_s2d_apply, p["encoder"], first_out_channel=channels
+        )
+        m_feats = enc_apply(mv_in)
+        f_feats = enc_apply(fx_in)
+    else:
+        from smilecode_tpu.models.modet import Encoder
+
+        enc = Encoder(first_out_channel=channels)
+        m_feats = enc.apply({"params": p["encoder"]}, mv_in)
+        f_feats = enc.apply({"params": p["encoder"]}, fx_in)
+    m1, m2, m3, m4, m5 = [to_planes(f) for f in m_feats]
+    f1, f2, f3, f4, f5 = [to_planes(f) for f in f_feats]
 
     def attn(level, q, k, heads):
         out = modet_attention_planes_diff(

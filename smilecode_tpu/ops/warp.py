@@ -102,18 +102,21 @@ def _warp_bilinear_packed(src: jax.Array, flow: jax.Array) -> jax.Array:
     swp = _round_up(sw + 2, cpr)
     srcp = jnp.pad(src, ((0, 0), (1, 2), (1, 2), (1, swp - sw), (0, 0)))
     rows_per_batch = (sd + 2) * (sh + 2) * (swp // cpr)
-    pieces = [
-        srcp[:, od : od + sd + 2, oh : oh + sh + 2, ow : ow + swp, :].reshape(
+    # build via sequential dynamic_update_slice on the lane axis rather than
+    # one 8-way concat: XLA materialized all 8 corner pieces at 16x lane
+    # padding for C=8 (8 x 1.2 GB in an on-chip OOM dump); the sequential
+    # build keeps at most one piece alive
+    pack = jnp.zeros((b, sd + 2, sh + 2, swp // cpr, 128), src.dtype)
+    for idx, (od, oh, ow) in enumerate(
+        (od, oh, ow) for od in (0, 1) for oh in (0, 1) for ow in (0, 1)
+    ):
+        piece = srcp[:, od : od + sd + 2, oh : oh + sh + 2, ow : ow + swp, :].reshape(
             b, sd + 2, sh + 2, swp // cpr, cpr * c
         )
-        for od in (0, 1)
-        for oh in (0, 1)
-        for ow in (0, 1)
-    ]
-    pack = jnp.concatenate(pieces, axis=-1)  # (B, SD+2, SH+2, SWP/cpr, 8*cpr*C)
-    pack = pack.reshape(b * rows_per_batch, 8 * cpr * c)
-    if lanes < 128:
-        pack = jnp.pad(pack, ((0, 0), (0, 128 - lanes)))
+        pack = jax.lax.dynamic_update_slice(
+            pack, piece, (0, 0, 0, 0, idx * cpr * c)
+        )
+    pack = pack.reshape(b * rows_per_batch, 128)
 
     # cell indices (+1 for the pack's leading pad), clipped into pack range
     cell = jnp.clip(c0, -1, sizes).astype(jnp.int32) + 1  # (B, N, 3)

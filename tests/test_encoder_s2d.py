@@ -1,0 +1,48 @@
+"""s2d-resident encoder == flax Encoder (same params, same outputs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from smilecode_tpu.models.modet import Encoder
+from smilecode_tpu.ops.encoder_s2d import (
+    conv3_s2d,
+    encoder_s2d_apply,
+    s2d,
+    und2d,
+)
+
+RNG = np.random.default_rng(17)
+
+
+def test_s2d_roundtrip():
+    x = jnp.asarray(RNG.standard_normal((2, 8, 12, 8, 5)).astype(np.float32))
+    assert np.array_equal(np.asarray(und2d(s2d(x), 5)), np.asarray(x))
+
+
+def test_conv3_s2d_matches_direct():
+    x = jnp.asarray(RNG.standard_normal((1, 8, 12, 8, 4)).astype(np.float32))
+    kern = jnp.asarray(RNG.standard_normal((3, 3, 3, 4, 6)).astype(np.float32) * 0.2)
+    bias = jnp.asarray(RNG.standard_normal((6,)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, kern, (1, 1, 1), [(1, 1)] * 3, dimension_numbers=("NDHWC", "DHWIO", "NDHWC")
+    ) + bias
+    out = und2d(conv3_s2d(s2d(x), kern, bias), 6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+
+def test_encoder_s2d_equals_flax():
+    shape = (32, 32, 32)
+    enc = Encoder(first_out_channel=4)
+    x = jnp.asarray(RNG.random((1, *shape, 1), dtype=np.float64).astype(np.float32))
+    params = enc.init(jax.random.PRNGKey(0), x)
+    refs = enc.apply(params, x)
+    outs = encoder_s2d_apply(params["params"], x, first_out_channel=4)
+    assert len(outs) == 5
+    for i, (o, r) in enumerate(zip(outs, refs)):
+        assert o.shape == r.shape, (i, o.shape, r.shape)
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(r), atol=2e-5, rtol=1e-4, err_msg=f"level {i}"
+        )
