@@ -75,10 +75,17 @@ def measure(k: int, impl: str = "packed") -> float:
         # near-zero (init weights) => zero window violations => the windowed
         # kernel is exact here. infer.py keeps guarded=True for real
         # checkpoints.
+        if "win" in impl:
+            # route ALL warps through the windowed kernel (its candidate
+            # loops adapt to the flow at runtime)
+            from smilecode_tpu.models import modet_planes as mp_mod
+
+            mp_mod.WARP_PACKED_MIN_C = 10**6
+
         def fwd(params, m, f):
             return modet_forward_planes(
                 params, m, f, qk_scale=1.0, guarded_warp=False,
-                compute_dtype="bfloat16" if impl.endswith("bf16") else None,
+                compute_dtype="bfloat16" if "bf16" in impl else None,
             )
     else:
         from smilecode_tpu.ops import warp as warp_mod

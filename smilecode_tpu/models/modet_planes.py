@@ -163,6 +163,11 @@ def upsample2_planes(x):
     return jnp.einsum("bcdhw,wv->bcdhv", x, g)
 
 
+# channel count at/above which the hardware warp uses the packed row-gather
+# instead of the windowed kernel (see _warp_planes_hw)
+WARP_PACKED_MIN_C = 5
+
+
 def _warp_planes_ref(src, flow):
     """Oracle-equivalent planes warp (differentiable XLA path): used as the
     backward recompute of the hardware warp and as the CPU path."""
@@ -189,9 +194,13 @@ def _warp_planes_hw(src, flow, guarded: bool):
     Backward = VJP of the oracle-equivalent warp (exact)."""
     b, c, d, h, w = src.shape
 
-    # threshold 4: windowed C=3 (187 ms) ~ packed C=3 (172 ms) but avoids
-    # the pack-piece memory; for C>=8 packed is ~2.6x faster than windowed
-    if c > 4:
+    # threshold (overridable): windowed C=3 (187 ms) ~ packed C=3 (172 ms)
+    # on RANDOM flows but avoids the pack-piece memory; for C>=8 packed is
+    # ~2.6x faster on random flows. On SMOOTH flows (what registration
+    # produces; also the bench's near-zero init flows) the windowed kernel's
+    # adaptive candidate loops collapse and it wins at every C — set
+    # WARP_PACKED_MIN_C high to route everything through it.
+    if c >= WARP_PACKED_MIN_C:
         from smilecode_tpu.ops.warp import _warp_bilinear_packed
 
         out = _warp_bilinear_packed(from_planes(src), from_planes(flow))

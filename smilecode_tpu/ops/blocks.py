@@ -49,9 +49,12 @@ def leaky_relu(x: jax.Array, alpha: float = 0.1) -> jax.Array:
 
 # conv implementation policy. "s2d" (space-to-depth, ops/conv_s2d.py) looked
 # promising on paper but measured 2.4x SLOWER than direct at LPBA shapes on
-# v5e (8.3 vs 20.4 ms for 4->8 at 160x192x160) — the reshuffles cost more
-# than the MXU lane-utilization gain. "auto" therefore means direct for now;
-# "s2d" remains selectable for other workloads.
+# v5e (8.3 vs 20.4 ms for 4->8 at 160x192x160) — the PER-CONV reshuffles
+# cost more than the MXU lane-utilization gain. Round 2 resolved this: the
+# s2d idea wins when the volume STAYS in s2d layout across the whole conv
+# chain (`ops/encoder_s2d.py`, encoder 67.5 -> 15.1 ms; used by the planes
+# fast path). "auto" here still means direct — per-op dispatch can't
+# amortize the shuffles.
 CONV_IMPL = "auto"
 
 
