@@ -28,7 +28,8 @@ RNG = np.random.default_rng(0)
 def main(size: str = "half", warp_impl: str = "packed"):
     from smilecode_tpu.ops import warp as warp_mod
 
-    warp_mod.WARP_IMPL = warp_impl
+    if warp_impl != "planes":
+        warp_mod.WARP_IMPL = warp_impl
 
     from smilecode_tpu.models import ModeT
     from smilecode_tpu.losses import ncc_vxm, grad3d
@@ -41,9 +42,18 @@ def main(size: str = "half", warp_impl: str = "packed"):
     tx = optax.amsgrad(1e-4)
     opt_state = tx.init(params)
 
+    if warp_impl == "planes":
+        from smilecode_tpu.models.modet_planes import modet_forward_planes
+
+        def forward(p, m, f):
+            return modet_forward_planes(p, m, f, qk_scale=1.0)
+    else:
+        def forward(p, m, f):
+            return model.apply(p, m, f)
+
     def step(params, opt_state, m, f):
         def loss_fn(p):
-            moved, flow = model.apply(p, m, f)
+            moved, flow = forward(p, m, f)
             return ncc_vxm(moved, f) + grad3d(flow, penalty="l2")
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
