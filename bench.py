@@ -34,16 +34,64 @@ SHAPE = (160, 192, 160)
 # (repetition factor K, impl): "planes" = the planes-layout decoder +
 # s2d-resident encoder (models/modet_planes.py) — the production inference
 # path, equality-tested against the reference-parity flax graph (2e-4) and
-# measured 511 ms/pair vs 650 for the flax-packed graph (round 2). Fallbacks
-# descend K and then the older flax configs ("packed" row-gather warps,
-# "pallas" windowed warps — least HBM).
+# measured 511 ms/pair vs 650 for the flax-packed graph (round 2).
+# "planes-bf16" additionally runs the feature path in bfloat16 (flow
+# composition stays f32) and only counts if an in-process parity gate
+# passes (flow-endpoint p99 vs f32 on excited params + smooth volumes, the
+# tests/test_modet.py bound); a gate trip or OOM falls through the ladder.
+# Fallbacks descend K and then the older flax configs ("packed" row-gather
+# warps, "pallas" windowed warps — least HBM).
 ATTEMPTS = (
+    (2, "planes-bf16"),
     (2, "planes"),
     (1, "planes"),
     (2, "packed"),
     (1, "packed"),
     (1, "pallas"),
 )
+
+
+def bf16_parity_gate(params, model_cls) -> None:
+    """Assert the bf16 planes forward stays within the f32 flow-endpoint
+    bounds of tests/test_modet.py::test_bf16_compute_matches_f32, on smooth
+    brain-like volumes with excited projection/rpb params (init weights
+    produce near-zero flows, which would gate nothing). Raises on failure,
+    which fails this subprocess attempt and drops the ladder to f32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smilecode_tpu.models.modet_planes import modet_forward_planes
+
+    def smooth_vol(seed):
+        r = np.random.default_rng(seed)
+        low = r.random((20, 24, 20)).astype(np.float32)
+        v = jax.image.resize(jnp.asarray(low), SHAPE, "linear")
+        v = (v - v.min()) / (v.max() - v.min())
+        return v[None, ..., None]
+
+    def excite(path, x):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "proj/kernel" in name or "rpb" in name:
+            return x + jax.random.normal(jax.random.PRNGKey(len(name)), x.shape) * 0.1
+        return x
+
+    eparams = jax.tree_util.tree_map_with_path(excite, params)
+    moving, fixed = smooth_vol(1), smooth_vol(2)
+    fwd = jax.jit(
+        lambda p, m, f, dt: modet_forward_planes(
+            p, m, f, qk_scale=1.0, guarded_warp=False, compute_dtype=dt
+        ),
+        static_argnums=(3,),
+    )
+    _, flow32 = fwd(eparams, moving, fixed, None)
+    _, flow16 = fwd(eparams, moving, fixed, "bfloat16")
+    err = np.abs(np.asarray(flow16) - np.asarray(flow32))
+    assert float(np.abs(np.asarray(flow32)).max()) > 0.05, "gate flows degenerate"
+    mean, p99 = float(err.mean()), float(np.percentile(err, 99))
+    assert mean < 0.06 and p99 < 0.3, f"bf16 gate tripped: mean={mean} p99={p99}"
+    print(f"bf16 parity gate OK: flow err mean={mean:.4f} p99={p99:.4f}",
+          file=sys.stderr, flush=True)
 
 
 def measure(k: int, impl: str = "packed") -> float:
@@ -68,6 +116,9 @@ def measure(k: int, impl: str = "packed") -> float:
 
     if impl.startswith("planes"):
         from smilecode_tpu.models.modet_planes import modet_forward_planes
+
+        if "bf16" in impl:
+            bf16_parity_gate(params, ModeT)
 
         # guarded_warp=False: the guard's packed fallback branch reserves its
         # pack buffers (cond allocates max-of-branches), which pushed the

@@ -46,6 +46,14 @@ class TrainConfig:
     atlas_path: str = ""
     # parallelism: number of data-parallel devices (1 = single chip)
     dp: int = 1
+    # RCN: number of cascaded VTNs (`Baseline methods/RCN/train.py` trains 10)
+    n_cascade: int = 10
+    # RDN: outer stage recursion count and per-stage level recursion depths
+    # (`Baseline methods/RDN/train.py:47-67`: stages=4, levels=[4,4,4,4])
+    stages: int = 4
+    levels: Sequence[int] = (4, 4, 4, 4)
+    # RDN MC-dropout rate for the uncertainty protocol (0 = off)
+    dropout_rate: float = 0.0
 
     @property
     def save_dir(self) -> str:
@@ -79,6 +87,11 @@ class InferConfig:
     atlas_path: str = ""
     # load a reference PyTorch .pth.tar instead of a native checkpoint
     torch_checkpoint: str = ""
+    # structural knobs mirrored from TrainConfig (must match the checkpoint)
+    n_cascade: int = 10
+    stages: int = 4
+    levels: Sequence[int] = (4, 4, 4, 4)
+    dropout_rate: float = 0.0
 
 
 def apply_cli_overrides(cfg, argv: list[str]):

@@ -40,8 +40,13 @@ def make_infer_step(spec, cfg=None):
     NDHWC<->planes relayout churn."""
     fast = getattr(cfg, "fast_path", "auto") if cfg is not None else "off"
     model_name = getattr(cfg, "model", "") if cfg is not None else ""
+    # attn_impl="xla" is an explicit opt-out of the Pallas kernels; honor it
+    # by not auto-selecting the (Pallas-based) planes decoder (fast_path=
+    # "planes" still forces it)
+    forced_xla = getattr(cfg, "attn_impl", "auto") == "xla" if cfg is not None else False
     use_planes = model_name.startswith("modet") and (
-        fast == "planes" or (fast == "auto" and jax.default_backend() == "tpu")
+        fast == "planes"
+        or (fast == "auto" and not forced_xla and jax.default_backend() == "tpu")
     )
     if use_planes:
         from smilecode_tpu.models.modet_planes import modet_forward_planes

@@ -20,9 +20,12 @@ Design (one program per (batch*head, d-slab, h-block)):
     +-adds (offsets are in {-1, 0, 1});
   * rpb sits in SMEM as (heads, 27), read per program.
 
-Backward: custom VJP whose bwd currently recomputes through the XLA oracle
-(correct; a fused backward kernel mirroring modet_kernel.cu's dq/dk/drpb is
-the planned optimization).
+Backward: custom VJP with FUSED Pallas backward kernels mirroring the
+reference's dq/dk/drpb math (`modet_kernel.cu:156-381`): B1 recomputes the
+27-wide softmax from (q, k), forms d_logits, and fuses dq + per-program drpb
+partials; B2 runs the inverse-window recurrence for dk (see `_bwd_kernel_b1`
+/ `_bwd_kernel_b2` below). Grads match the oracle autodiff to ~2e-6 on
+hardware (tests/test_pallas_attn.py).
 """
 
 from __future__ import annotations

@@ -49,6 +49,11 @@ SEVEN_REGION_NAMES = [
     "Hippocampus", "Putamen",
 ]
 
+# `get_Mindbogglelabel` (`Baseline methods/RDN/utils.py:70-78`)
+MINDBOGGLE_LABEL_NAMES = [
+    "Frontal", "Parietal", "Occipital", "Temporal", "Cingulate",
+]
+
 
 def dice_binary(pred: np.ndarray, true: np.ndarray) -> float:
     """medpy.metric.binary.dc equivalent."""
@@ -204,7 +209,8 @@ def uncert_regression_gal(img_list, reduction: str = "mean"):
     """
     preds = np.stack([np.asarray(x) for x in img_list], axis=0)
     ale = preds[..., -1:].mean(axis=0)
-    epi = preds[..., :-1].var(axis=0).mean(axis=-1, keepdims=True)
+    # ddof=1: the reference uses torch.var's default UNBIASED estimator
+    epi = preds[..., :-1].var(axis=0, ddof=1).mean(axis=-1, keepdims=True)
     uncert = ale + epi
     if reduction == "mean":
         return float(ale.mean()), float(epi.mean()), float(uncert.mean())

@@ -112,6 +112,7 @@ def build_model(name: str, cfg) -> ModelSpec:
                 levels=levels,
                 share_weights="share" in name,
                 diff="diff" in name,
+                dropout_rate=getattr(cfg, "dropout_rate", 0.0),
             ),
             ["ncc"] + ["grad_l2"] * stages,
             select_train_outputs=lambda outs: outs[0:1] + outs[2:],

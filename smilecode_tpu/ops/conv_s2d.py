@@ -10,6 +10,14 @@ K2[s, (v, cin), (q, cout)] = K[2s + v - q] (zero outside [0,3)).
 
 8x the lane utilization for 64/27 = 2.4x the MACs — a large net win for
 C <= 16, and layouts stop exploding.
+
+STATUS: superseded on the live inference path by `ops/encoder_s2d.py`,
+which keeps the whole encoder RESIDENT in s2d space (one s2d in, one
+inverse out) instead of round-tripping per conv as this module does. The
+per-conv round trip measured NET-NEGATIVE on chip (the s2d/un-s2d
+transposes cost more than the padding they save); kept as documentation of
+that result and as the unit-tested reference for the s2d kernel algebra
+that encoder_s2d builds on.
 """
 
 from __future__ import annotations

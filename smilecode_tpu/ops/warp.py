@@ -173,8 +173,11 @@ def warp(src: jax.Array, flow: jax.Array, mode: str = "bilinear", impl: str = "a
         "packed", "simple" (naive 8-corner gather; the reference oracle),
         "pallas" (windowed-DMA kernel, fastest for SMOOTH flows but clamps
         tiles whose (d,h) spread exceeds its window — see kernels/warp3d.py),
-        or "guarded" (windowed kernel with a lax.cond fallback to packed
-        whenever any tile would clamp — exact for every flow).
+        or "guarded" (windowed kernel with a lax.cond fallback to the
+        naive-gather oracle `_warp_simple` whenever any tile would clamp —
+        exact for every flow; the packed path is NOT used in the fallback
+        branch because cond reserves both branches' allocations and the
+        pack temps are multi-GB).
 
     Returns:
       (B, D', H', W', C), zeros where the sample location falls outside.

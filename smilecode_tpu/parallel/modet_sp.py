@@ -232,4 +232,6 @@ def modet_forward_spatial(
     p = jax.device_put(p, NamedSharding(mesh, P()))
     moving = jax.device_put(moving, NamedSharding(mesh, spec))
     fixed = jax.device_put(fixed, NamedSharding(mesh, spec))
-    return run(p, moving, fixed)
+    # jit: an un-jitted shard_map dispatches eagerly op-by-op (each op its
+    # own mini-compile — this alone blew the round-2 dryrun time budget)
+    return jax.jit(run)(p, moving, fixed)

@@ -24,9 +24,10 @@ from smilecode_tpu.convert import convert_state_dict, renames_for
 
 REF = "/root/reference/Baseline methods"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference repo not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir(REF), reason="reference repo not mounted"),
+    pytest.mark.slow,  # per-model torch-vs-flax full forwards
+]
 
 _loaded = {}
 

@@ -6,6 +6,8 @@ import pytest
 import jax
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.slow  # full-model CPU compiles, multi-minute
+
 RNG = np.random.default_rng(6)
 
 
@@ -17,7 +19,7 @@ def _pair(shape):
 
 def _run(model, shape):
     m, f = _pair(shape)
-    params = model.init(jax.random.PRNGKey(0), m, f)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), m, f)
     outs = model.apply(params, m, f)
     moved, flow = outs[0], outs[1]
     assert moved.shape == (1, *shape, 1)

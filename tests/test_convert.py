@@ -17,9 +17,10 @@ import jax.numpy as jnp
 
 REF = "/root/reference/ModeT"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference repo not mounted"
-)
+pytestmark = [
+    pytest.mark.skipif(not os.path.isdir(REF), reason="reference repo not mounted"),
+    pytest.mark.slow,  # full-model torch + flax compiles
+]
 
 
 @pytest.fixture(scope="module")

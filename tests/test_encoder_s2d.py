@@ -37,7 +37,7 @@ def test_encoder_s2d_equals_flax():
     shape = (32, 32, 32)
     enc = Encoder(first_out_channel=4)
     x = jnp.asarray(RNG.random((1, *shape, 1), dtype=np.float64).astype(np.float32))
-    params = enc.init(jax.random.PRNGKey(0), x)
+    params = jax.jit(enc.init)(jax.random.PRNGKey(0), x)
     refs = enc.apply(params, x)
     outs = encoder_s2d_apply(params["params"], x, first_out_channel=4)
     assert len(outs) == 5

@@ -8,6 +8,17 @@ import jax.numpy as jnp
 
 from smilecode_tpu.models import ModeT
 
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def japply(model):
+    """Cached jitted apply: eager flax apply dispatches op-by-op on CPU
+    (~30 s for a 32^3 ModeT forward); one jitted compile is faster and the
+    persistent compile cache makes re-runs instant."""
+    return jax.jit(model.apply)
+
+
 RNG = np.random.default_rng(3)
 SHAPE = (32, 32, 32)  # divisible by 16 (encoder has 4 avg-pool halvings)
 
@@ -17,13 +28,13 @@ def model_and_params():
     model = ModeT(qk_scale=1.0)
     moving = jnp.asarray(RNG.random((1, *SHAPE, 1), dtype=np.float64).astype(np.float32))
     fixed = jnp.asarray(RNG.random((1, *SHAPE, 1), dtype=np.float64).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), moving, fixed)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), moving, fixed)
     return model, params, moving, fixed
 
 
 def test_output_shapes(model_and_params):
     model, params, moving, fixed = model_and_params
-    moved, flow = model.apply(params, moving, fixed)
+    moved, flow = japply(model)(params, moving, fixed)
     assert moved.shape == (1, *SHAPE, 1)
     assert flow.shape == (1, *SHAPE, 3)
     assert np.isfinite(np.asarray(moved)).all()
@@ -48,7 +59,7 @@ def test_initial_flow_small(model_and_params):
     # with N(0,1e-5) projections and zero rpb, attention is ~uniform =>
     # subfields ~0 => initial flow magnitude should be small
     model, params, moving, fixed = model_and_params
-    _, flow = model.apply(params, moving, fixed)
+    _, flow = japply(model)(params, moving, fixed)
     assert float(jnp.abs(flow).max()) < 1.0
 
 
@@ -82,8 +93,8 @@ def test_bf16_compute_matches_f32(model_and_params):
 
     eparams = jax.tree_util.tree_map_with_path(excite, params)
     bf16 = ModeT(qk_scale=1.0, compute_dtype="bfloat16")
-    moved32, flow32 = model.apply(eparams, moving, fixed)
-    moved16, flow16 = bf16.apply(eparams, moving, fixed)
+    moved32, flow32 = japply(model)(eparams, moving, fixed)
+    moved16, flow16 = japply(bf16)(eparams, moving, fixed)
     assert flow16.dtype == jnp.float32
     assert moved16.dtype == jnp.float32
     assert float(jnp.abs(flow32).max()) > 0.05

@@ -49,7 +49,7 @@ def test_planes_forward_equals_flax():
     model = ModeT(qk_scale=1.0)
     moving = jnp.asarray(RNG.random((1, *SHAPE, 1), dtype=np.float64).astype(np.float32))
     fixed = jnp.asarray(RNG.random((1, *SHAPE, 1), dtype=np.float64).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), moving, fixed)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), moving, fixed)
 
     def excite(path, x):
         name = "/".join(str(getattr(k, "key", k)) for k in path)
@@ -79,7 +79,7 @@ def test_planes_grads_equal_flax():
     model = ModeT(qk_scale=1.0)
     moving = jnp.asarray(RNG.random((1, *shape, 1), dtype=np.float64).astype(np.float32))
     fixed = jnp.asarray(RNG.random((1, *shape, 1), dtype=np.float64).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), moving, fixed)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), moving, fixed)
 
     def excite(path, x):
         name = "/".join(str(getattr(k, "key", k)) for k in path)

@@ -24,7 +24,7 @@ def modet_ref():
     rng = np.random.default_rng(11)
     moving = jnp.asarray(rng.random((1, *SHAPE, 1), dtype=np.float64).astype(np.float32))
     fixed = jnp.asarray(rng.random((1, *SHAPE, 1), dtype=np.float64).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), moving, fixed)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), moving, fixed)
     # excite the zero-init projections/rpb so attention is non-trivial
     def excite(path, x):
         name = "/".join(str(k) for k in path)

@@ -42,7 +42,8 @@ def test_kernel_no_rpb():
 
 @pytest.mark.parametrize(
     "shape,heads,scale",
-    [((4, 8, 4), 1, 1.0), ((6, 10, 5), 2, 0.408)],
+    [((4, 8, 4), 1, 1.0),
+     pytest.param((6, 10, 5), 2, 0.408, marks=pytest.mark.slow)],
 )
 def test_kernel_grads_match_oracle(shape, heads, scale):
     """Exercises the fused dq/dl/drpb + inverse-window dk kernels
@@ -81,6 +82,7 @@ def test_kernel_grads_no_rpb():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow  # ~1 min of Pallas interpreter execution
 def test_modet_with_pallas_impl_interpret():
     """Full ModeT with attn_impl='pallas' (interpreted) matches 'xla'."""
     from smilecode_tpu.models import ModeT
@@ -90,7 +92,7 @@ def test_modet_with_pallas_impl_interpret():
     f = jnp.asarray(RNG.random((1, *shape, 1), dtype=np.float64).astype(np.float32))
     model_x = ModeT(qk_scale=1.0, attn_impl="xla")
     model_p = ModeT(qk_scale=1.0, attn_impl="pallas")
-    params = model_x.init(jax.random.PRNGKey(0), m, f)
+    params = jax.jit(model_x.init)(jax.random.PRNGKey(0), m, f)
     mx, fx = model_x.apply(params, m, f)
     mp, fp = model_p.apply(params, m, f)
     np.testing.assert_allclose(np.asarray(mp), np.asarray(mx), atol=1e-4, rtol=1e-3)

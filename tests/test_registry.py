@@ -30,3 +30,25 @@ def test_registry_rcn_loss_plan():
 def test_registry_unknown_raises():
     with pytest.raises(ValueError):
         build_model("voxelmorph9000", TrainConfig())
+
+
+def test_structural_knobs_reachable_from_cli():
+    """Round-2 verdict weak #7: every registry structural knob must be
+    settable via the CLI override syntax (the reference equivalents are
+    trainable constants, `Baseline methods/RCN/train.py`)."""
+    from smilecode_tpu.config import apply_cli_overrides
+
+    cfg = apply_cli_overrides(TrainConfig(), ["n_cascade=3"])
+    spec = build_model("rcn", cfg)
+    assert spec.module.n_cascade == 3
+    assert spec.criterions == ["ncc"] + ["grad_l2"] * 3
+
+    cfg = apply_cli_overrides(TrainConfig(), ["stages=2", "levels=2,3"])
+    spec = build_model("rdn", cfg)
+    assert spec.module.stages == 2
+    assert tuple(spec.module.levels) == (2, 3)
+    assert spec.criterions == ["ncc"] + ["grad_l2"] * 2
+
+    cfg = apply_cli_overrides(TrainConfig(), ["dropout_rate=0.1"])
+    spec = build_model("rdn_share", cfg)
+    assert spec.module.dropout_rate == 0.1

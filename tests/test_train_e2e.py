@@ -13,6 +13,8 @@ import pytest
 
 from smilecode_tpu.data.trans import LPBA_SEG_TABLE
 
+pytestmark = pytest.mark.slow  # 1-epoch train + infer drivers
+
 SHAPE = (16, 16, 16)  # divisible by 16
 
 

@@ -33,6 +33,7 @@ def test_rcn_default_config_has_11_criterions():
     assert len(spec.criterions) == 1 + 10
 
 
+@pytest.mark.slow  # full RDN fwd+bwd compile, ~1 min on CPU
 def test_rdn_train_step_applies_all_criterions():
     """A default-weights RDN (stages=2) step must produce 3 loss terms,
     with nonzero Grad3d weight on EVERY stage flow."""
@@ -51,6 +52,8 @@ def test_rdn_train_step_applies_all_criterions():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.random((1, *shape, 1), dtype=np.float64).astype(np.float32))
     y = jnp.asarray(rng.random((1, *shape, 1), dtype=np.float64).astype(np.float32))
+    # NB deliberately un-jitted: RDN's unrolled recursion makes the jitted
+    # init COMPILE slower than eager execution at this tiny size
     params = spec.module.init(jax.random.PRNGKey(0), x, y)
     opt_state = tx.init(params)
     params, opt_state, loss, loss_vals = step(params, opt_state, x, y)

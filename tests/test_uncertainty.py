@@ -73,11 +73,9 @@ def test_uncert_regression_gal_matches_torch_reference():
     np.testing.assert_allclose(
         ale[..., 0], t_ale.numpy()[0, 0], atol=1e-5
     )
-    # torch.var defaults to unbiased; ours is np.var (biased) — compare with
-    # correction factor n/(n-1)
-    n = samples_nchw.shape[0]
+    # torch.var defaults to unbiased (ddof=1); the implementation matches
     np.testing.assert_allclose(
-        epi[..., 0] * n / (n - 1), t_epi.numpy()[0, 0], atol=1e-5, rtol=1e-4
+        epi[..., 0], t_epi.numpy()[0, 0], atol=1e-5, rtol=1e-4
     )
     am, em, um = uncert_regression_gal(list(samples_last), reduction="mean")
     assert abs(am - float(t_ale.mean())) < 1e-6
@@ -91,6 +89,7 @@ def test_calc_uncert_matches_reference_formula():
     np.testing.assert_allclose(u[0], ref, atol=1e-6)
 
 
+@pytest.mark.slow  # dropout-enabled RDN end-to-end, ~1 min on CPU
 def test_mc_dropout_rdn_end_to_end():
     from smilecode_tpu.models import RDN
 
@@ -98,7 +97,7 @@ def test_mc_dropout_rdn_end_to_end():
     model = RDN(stages=1, levels=(1, 1, 1, 1), dropout_rate=0.3, return_aux=False)
     m = jnp.asarray(RNG.random((1, *shape, 1)).astype(np.float32))
     f = jnp.asarray(RNG.random((1, *shape, 1)).astype(np.float32))
-    params = model.init(jax.random.PRNGKey(0), m, f)
+    params = model.init(jax.random.PRNGKey(0), m, f)  # eager: see test_train_weights
 
     def apply_fn(moving, fixed, key):
         return model.apply(params, moving, fixed, rngs={"dropout": key})
