@@ -185,6 +185,7 @@ def _bwd1_kernel(hd: int, heads: int, wp: int, hb: int, h: int, w: int, scale: f
     d = pl.program_id(1)
     hblk = pl.program_id(2)
     head = bh % heads
+    f32 = jnp.float32
 
     copy = pltpu.make_async_copy(
         k_hbm.at[bh, pl.ds(d, 3), :, pl.ds(hblk * hb, hb + 8)], ksc, sem
@@ -192,12 +193,13 @@ def _bwd1_kernel(hd: int, heads: int, wp: int, hb: int, h: int, w: int, scale: f
     copy.start()
     copy.wait()
 
-    # recompute the 27 logit slabs + running max (identical to forward)
+    # recompute the 27 logit slabs + running max (identical to forward:
+    # io-dtype q/k products accumulated f32)
     m = None
     for t, (od, oh, ow) in enumerate(_OFFSETS):
-        acc = q_ref[0, 0, 0] * ksc[od, 0, oh:oh + hb, ow:ow + wp]
+        acc = q_ref[0, 0, 0].astype(f32) * ksc[od, 0, oh:oh + hb, ow:ow + wp].astype(f32)
         for c in range(1, hd):
-            acc += q_ref[0, 0, c] * ksc[od, c, oh:oh + hb, ow:ow + wp]
+            acc += q_ref[0, 0, c].astype(f32) * ksc[od, c, oh:oh + hb, ow:ow + wp].astype(f32)
         acc += rpb_ref[head, t]
         lsc[t] = acc
         m = acc if m is None else jnp.maximum(m, acc)
@@ -231,43 +233,102 @@ def _bwd1_kernel(hd: int, heads: int, wp: int, hb: int, h: int, w: int, scale: f
     for t, (od, oh, ow) in enumerate(_OFFSETS):
         da = (od - 1) * g0 + (oh - 1) * g1 + (ow - 1) * g2
         dl = (lsc[t] * inv) * (da - S) * valid
-        dl_ref[0, 0, t] = dl
-        drpb_ref[0, 0, 0, t] = jnp.sum(dl)
+        # dl persists to HBM in the io dtype (bf16 when q/k are bf16 —
+        # halves the largest training-backward buffer); drpb/dq keep the
+        # f32 value
+        dl_ref[0, 0, t] = dl.astype(dl_ref.dtype)
+        # drpb block covers the whole (nblk, 27) tail (a (1,1,1,27) block is
+        # rejected by Mosaic when nblk > 1); each program owns row `hblk` of
+        # the SMEM block, which persists across the consecutive hblk revisits
+        drpb_ref[0, 0, hblk, t] = jnp.sum(dl)
         for c in range(hd):
-            dq_acc[c] += dl * ksc[od, c, oh:oh + hb, ow:ow + wp]
+            dq_acc[c] += dl * ksc[od, c, oh:oh + hb, ow:ow + wp].astype(f32)
     for c in range(hd):
         dq_ref[0, 0, c] = scale * dq_acc[c]
 
 
-def _bwd2_kernel(hd: int, wp: int, hb: int, scale: float,
+def _bwd2_kernel(hd: int, wp: int, hb: int, hp: int, dtot: int, rows_n: int,
+                 slabs_n: int, scale: float,
                  dl_hbm, q_hbm, dk_ref, dls, qs_, sem1, sem2):
     """Per (bh, d, hblk): dk[x] = scale * sum_t dl[x - off_t, t] * q[x - off_t]
     — the inverse-window recurrence of the reference's dk kernel
-    (`modet_kernel.cu:209-267`, `include/utils.h:29-38`). dl and q come
-    pre-padded by 1 in (d, h, w), so window reads are static slices."""
+    (`modet_kernel.cu:209-267`, `include/utils.h:29-38`).
+
+    dl and q are read UNPADDED (no +1-voxel padded HBM copies — those copies
+    were the training backward's peak-memory driver: ~1.7 GB at full res).
+    Boundary handling without pads:
+      * rows: clamped 8-aligned window DMA whose DESTINATION offset absorbs
+        the clamp (global row y always lands at buffer sublane y - r0 + 16),
+        so every vector load uses a STATIC row offset — dynamic-start VMEM
+        slices lower to `tpu.dynamic_rotate`, unimplemented for bf16 data;
+        margins are zeroed before the DMA starts;
+      * lanes: static lane rolls in f32 (rolls on bf16 vectors are likewise
+        unimplemented); the wrapped lane is zero because dl/q are zero beyond
+        w (B1's valid mask / XLA zero-pad to wp);
+      * depth: 3-slab clamped DMA + per-offset zero factor for slabs
+        outside [0, D)."""
     bh = pl.program_id(0)
     d = pl.program_id(1)
     hblk = pl.program_id(2)
+    f32 = jnp.float32
 
-    # hardware DMA row extents must be 8-aligned: read hb+8 rows (hb is a
-    # multiple of 8); only the first hb+2 are consumed. The +8 row pad on the
-    # HBM buffers guarantees the read stays in range for the last block.
+    r0 = hblk * hb
+    sd0 = jnp.clip(d - 1, 0, dtot - slabs_n)
+    sh0 = jnp.clip(r0 - 8, 0, hp - rows_n)
+    sh0 = pl.multiple_of(sh0, 8)
+    base = r0 - sh0  # dynamic, a multiple of 8 in [0, 16]
+    dst0 = pl.multiple_of(16 - base, 8)
+
+    # zero the sublane margins BEFORE the copy starts (the dynamic dest may
+    # overwrite part of them — data wins); rows the shifted reads touch but
+    # the DMA doesn't fill are always within [0, 16) ∪ [rows_n, rows_total)
+    rows_total = dls.shape[2]
+    dls[:, :, :16, :] = jnp.zeros((slabs_n, 27, 16, wp), dls.dtype)
+    dls[:, :, rows_n:, :] = jnp.zeros(
+        (slabs_n, 27, rows_total - rows_n, wp), dls.dtype
+    )
+    qs_[:, :, :16, :] = jnp.zeros((slabs_n, hd, 16, wp), qs_.dtype)
+    qs_[:, :, rows_n:, :] = jnp.zeros(
+        (slabs_n, hd, rows_total - rows_n, wp), qs_.dtype
+    )
+
     cp1 = pltpu.make_async_copy(
-        dl_hbm.at[bh, pl.ds(d, 3), :, pl.ds(hblk * hb, hb + 8)], dls, sem1
+        dl_hbm.at[bh, pl.ds(sd0, slabs_n), :, pl.ds(sh0, rows_n)],
+        dls.at[:, :, pl.ds(dst0, rows_n)],
+        sem1,
     )
     cp2 = pltpu.make_async_copy(
-        q_hbm.at[bh, pl.ds(d, 3), :, pl.ds(hblk * hb, hb + 8)], qs_, sem2
+        q_hbm.at[bh, pl.ds(sd0, slabs_n), :, pl.ds(sh0, rows_n)],
+        qs_.at[:, :, pl.ds(dst0, rows_n)],
+        sem2,
     )
     cp1.start()
     cp2.start()
     cp1.wait()
     cp2.wait()
 
-    dk_acc = [jnp.zeros((hb, wp), jnp.float32) for _ in range(hd)]
-    for t, (od, oh, ow) in enumerate(_OFFSETS):
-        dl = dls[2 - od, t, 2 - oh:2 - oh + hb, 2 - ow:2 - ow + wp]
-        for c in range(hd):
-            dk_acc[c] += dl * qs_[2 - od, c, 2 - oh:2 - oh + hb, 2 - ow:2 - ow + wp]
+    def shifted(buf, loc, ch, oh, ow):
+        # output row i reads global row r0 + i + 1 - oh = buffer row
+        # i + 17 - oh: a static sublane offset
+        tile = buf[loc, ch, 17 - oh:17 - oh + hb, :].astype(f32)
+        lsh = (ow - 1) % wp  # out[l] = x[l+1-ow] = roll by -(1-ow) (mod wp)
+        if lsh:  # static lane roll (f32); the wrapped lane is zero data
+            tile = pltpu.roll(tile, lsh, axis=1)
+        return tile
+
+    dk_acc = [jnp.zeros((hb, wp), f32) for _ in range(hd)]
+    for od in range(3):
+        # depth d+1-od; zero factor outside [0, D)
+        src_d = d + 1 - od
+        loc_d = jnp.clip(src_d - sd0, 0, slabs_n - 1)
+        mfac = jnp.where((src_d >= 0) & (src_d < dtot), 1.0, 0.0).astype(f32)
+        for oh in range(3):
+            for ow in range(3):
+                t = od * 9 + oh * 3 + ow
+                dl = shifted(dls, loc_d, t, oh, ow) * mfac
+                for c in range(hd):
+                    qv = shifted(qs_, loc_d, c, oh, ow)
+                    dk_acc[c] += dl * qv
     for c in range(hd):
         dk_ref[0, 0, c] = scale * dk_acc[c]
 
@@ -297,16 +358,25 @@ def _backward_planes(qs, kpl, rpb, heads, scale, gs, interpret=False):
     bh, d, hd, h, w = qs.shape
     b = bh // heads
     dt = jnp.float32
+    # io dtype follows the inputs (bf16 halves the d_logits buffer — the
+    # largest training-backward allocation — and the k/q/dl window DMAs)
+    io_dt = qs.dtype if qs.dtype == jnp.bfloat16 else dt
     wp = _round_up(w, 128)
     wpk = wp + 128
     hp = _round_up(h, 8)
     hb = _pick_h_block(hp)
     nblk = hp // hb
+    rows_n = min(hb + 16, hp)
 
-    # layouts identical to the forward
-    qs = jnp.pad(qs.astype(dt), ((0, 0),) * 3 + ((0, hp - h), (0, wp - w)))
+    # layouts identical to the forward (q scaled exactly as the forward
+    # scaled it — original dtype multiply, then the io cast — so B1's logit
+    # recompute bit-matches the forward softmax)
+    qs_scaled = jnp.pad(
+        (qs * qs.dtype.type(scale)).astype(io_dt),
+        ((0, 0),) * 3 + ((0, hp - h), (0, wp - w)),
+    )
     kp = jnp.pad(
-        kpl.astype(dt),
+        kpl.astype(io_dt),
         ((0, 0), (1, 1), (0, 0), (1, hp + 7 - h), (1, wpk - w - 1)),
     )
     gs = jnp.pad(gs.astype(dt), ((0, 0),) * 3 + ((0, hp - h), (0, wp - w)))
@@ -316,10 +386,14 @@ def _backward_planes(qs, kpl, rpb, heads, scale, gs, interpret=False):
     else:
         rpb_flat = rpb.astype(dt).reshape(heads, 27)
 
-    # q scaled inside logits in the forward; keep q unscaled here and apply
-    # `scale` explicitly to dq/dk instead (logits used q*scale; recompute
-    # must match) -> pass q*scale into B1's logit recompute.
-    qs_scaled = qs * dt(scale)
+    # B2 consumes q UNSCALED (scale is applied once on dq/dk outputs);
+    # for the common qk_scale=1 quirk the two buffers are one
+    if scale == 1.0:
+        qs_unscaled = qs_scaled
+    else:
+        qs_unscaled = jnp.pad(
+            qs.astype(io_dt), ((0, 0),) * 3 + ((0, hp - h), (0, wp - w))
+        )
 
     kern1 = functools.partial(_bwd1_kernel, hd, heads, wp, hb, h, w, scale)
     blkspec = lambda nc: pl.BlockSpec(
@@ -342,44 +416,47 @@ def _backward_planes(qs, kpl, rpb, heads, scale, gs, interpret=False):
         out_specs=[
             blkspec(hd),  # dq
             blkspec(27),  # d_logits
-            pl.BlockSpec((1, 1, 1, 27), lambda i, j, hblk: (i, j, hblk, 0),
+            pl.BlockSpec((1, 1, nblk, 27), lambda i, j, hblk: (i, j, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bh, d, hd, hp, wp), dt),
-            jax.ShapeDtypeStruct((bh, d, 27, hp, wp), dt),
+            jax.ShapeDtypeStruct((bh, d, 27, hp, wp), io_dt),
             jax.ShapeDtypeStruct((bh, d, nblk, 27), dt),
         ],
         scratch_shapes=[
-            pltpu.VMEM((3, hd, hb + 8, wpk), dt),
+            pltpu.VMEM((3, hd, hb + 8, wpk), io_dt),
             pltpu.VMEM((27, hb, wp), dt),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(rpb_flat, qs_scaled, gs, kp)
 
-    # pad dl and q by one voxel per spatial side for B2's inverse windows
-    dlp = jnp.pad(dl, ((0, 0), (1, 1), (0, 0), (1, 7), (1, 127)))
-    qp = jnp.pad(qs, ((0, 0), (1, 1), (0, 0), (1, 7), (1, 127)))
-
-    kern2 = functools.partial(_bwd2_kernel, hd, wp, hb, scale)
+    # B2 reads dl and q UNPADDED (clamped windows inside the kernel):
+    # no +1-voxel padded HBM copies
+    slabs_n = min(3, d)
+    kern2 = functools.partial(
+        _bwd2_kernel, hd, wp, hb, hp, d, rows_n, slabs_n, scale
+    )
     dk = pl.pallas_call(
         kern2,
         grid=(bh, d, nblk),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # dl padded
-            pl.BlockSpec(memory_space=pltpu.ANY),  # q padded
+            pl.BlockSpec(memory_space=pltpu.ANY),  # dl (BH, D, 27, HP, WP)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # q unscaled
         ],
         out_specs=blkspec(hd),
         out_shape=jax.ShapeDtypeStruct((bh, d, hd, hp, wp), dt),
         scratch_shapes=[
-            pltpu.VMEM((3, 27, hb + 8, wpk), dt),
-            pltpu.VMEM((3, hd, hb + 8, wpk), dt),
+            # rows_n + 24: DMA dest reaches 16 + rows_n, static reads reach
+            # 17 + hb (≤ rows_n + 17); both fit with an 8-aligned total
+            pltpu.VMEM((slabs_n, 27, rows_n + 24, wp), io_dt),
+            pltpu.VMEM((slabs_n, hd, rows_n + 24, wp), io_dt),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(dlp, qp)
+    )(dl, qs_unscaled)
 
     dq_out = dq[..., :h, :w]
     dk_out = dk[..., :h, :w]

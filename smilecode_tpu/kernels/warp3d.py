@@ -18,8 +18,10 @@ registration fields vary far less per tile; `warp_window_violations` reports
 the violating-tile fraction for validation runs. W displacement is
 UNBOUNDED (the window spans full W rows).
 
-Backward: custom VJP recomputing through the packed row-gather warp
-(correct, slower — training-path kernel is future work).
+Backward: custom VJP recomputing through the packed row-gather warp.
+This v2 kernel remains the standalone `ops.warp` "windowed"/"guarded"
+implementation; the planes training path uses the faster channel-batched v3
+kernel (`kernels/warp3d_v3.py`), whose adjoint is a fused Pallas kernel.
 """
 
 from __future__ import annotations

@@ -110,10 +110,10 @@ def _warp_v3_kernel(c: int, sd: int, sh: int, sw: int,
 
     # loop ranges must come from REAL output positions only: the edge-padded
     # coord lanes/rows repeat a real coordinate while wloc/hloc keep growing,
-    # which would blow the shift ranges up to the pad width
+    # which would blow the shift ranges up to the pad width. Sentinel-masked
+    # reductions (scalar splats) — a (1,1)->(8,256) dynamic broadcast is
+    # rejected by Mosaic ("Broadcast in both sublanes and lanes").
     real = (wloc < fw) & (hb * HB + hloc < fh)
-    relh_stat = jnp.where(real, relh, relh[:1, :1])
-    rels_stat = jnp.where(real, rels, rels[:1, :1])
 
     # OOB corners get zero weight (grid_sample zeros padding); computed from
     # UNCLIPPED floors — clipping the cell would otherwise alias far-OOB
@@ -126,8 +126,10 @@ def _warp_v3_kernel(c: int, sd: int, sh: int, sw: int,
     tw1 = tw * ((fw0 + 1 >= 0) & (fw0 + 1 <= sw - 1))
 
     rdmin, rdmax = jnp.min(rd), jnp.max(rd)
-    tmin, tmax = jnp.min(relh_stat), jnp.max(relh_stat)
-    smin, smax = jnp.min(rels_stat), jnp.max(rels_stat)
+    tmin = jnp.min(jnp.where(real, relh, kha_n))
+    tmax = jnp.max(jnp.where(real, relh, -HB - 1))
+    smin = jnp.min(jnp.where(real, rels, sw + 2))
+    smax = jnp.max(jnp.where(real, rels, -fwp))
 
     cp.wait()
 
@@ -210,7 +212,7 @@ def warp3d_planes_v3(planes, cd, ch, cw, c: int, interpret: bool = False):
         grid=(b, fd, fhp // HB),
         in_specs=[
             coord_spec, coord_spec, coord_spec,
-            pl.BlockSpec(memory_space=pltpu.ANY),  # src planes in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # src planes in HBM
         ],
         out_specs=pl.BlockSpec(
             (c, 1, HB, fwp), lambda b, d, hb: (b, d, hb, 0), memory_space=pltpu.VMEM
@@ -280,8 +282,6 @@ def _warp_v3_dflow_kernel(c: int, sd: int, sh: int, sw: int,
     rels = cellw - wloc
 
     real = (wloc < fw) & (hb * HB + hloc < fh)
-    relh_stat = jnp.where(real, relh, relh[:1, :1])
-    rels_stat = jnp.where(real, rels, rels[:1, :1])
 
     ind_d0 = ((fd0 >= 0) & (fd0 <= sd - 1)).astype(jnp.float32)
     ind_d1 = ((fd0 + 1 >= 0) & (fd0 + 1 <= sd - 1)).astype(jnp.float32)
@@ -297,8 +297,10 @@ def _warp_v3_dflow_kernel(c: int, sd: int, sh: int, sw: int,
     tw1 = tw * ind_w1
 
     rdmin, rdmax = jnp.min(rd), jnp.max(rd)
-    tmin, tmax = jnp.min(relh_stat), jnp.max(relh_stat)
-    smin, smax = jnp.min(rels_stat), jnp.max(rels_stat)
+    tmin = jnp.min(jnp.where(real, relh, kha_n))
+    tmax = jnp.max(jnp.where(real, relh, -HB - 1))
+    smin = jnp.min(jnp.where(real, rels, sw + 2))
+    smax = jnp.max(jnp.where(real, rels, -fwp))
 
     cp.wait()
 
@@ -394,7 +396,7 @@ def warp3d_planes_v3_dflow(planes, cd, ch, cw, g, c: int, interpret: bool = Fals
                 (c, 1, HB, fwp), lambda b, d, hb: (b, d, hb, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(shape, shape, shape),

@@ -16,16 +16,18 @@ both Pallas kernels already use internally:
     matmul on the lane (W) axis (align_corners positions are not polyphase,
     so the lane axis needs a true interpolation contraction — the MXU eats
     it);
-  * warps: `kernels.warp3d.warp3d_planes` with absolute coords built as
-    plane arithmetic, guarded by `warp_window_violations` with an exact
-    (transpose -> packed -> transpose) fallback branch.
+  * warps: `kernels.warp3d_v3.warp3d_planes_v3` (channel-batched
+    relative-shift kernel) with absolute coords built as plane arithmetic,
+    guarded by the v3 cell-spread budget with an exact naive-gather
+    fallback branch.
 
 Numerics match `models.modet.ModeT` (same params, same graph, same op
 semantics); equality is tested in tests/test_modet_planes.py. The path is
 DIFFERENTIABLE: attention uses `modet_attention_planes_diff` (fused Pallas
 B1/B2 backward, natively planes) and the hardware warp carries a custom VJP
-through the oracle-equivalent warp — so training can run the planes graph
-too (`train.py fast_path=planes`).
+whose d_flow runs the fused v3 adjoint kernel (d_src stays on the oracle's
+scatter transpose, dead-code-eliminated when src is a constant) — so
+training runs the planes graph too (`train.py fast_path=planes`).
 
 Reference hot path: `/root/reference/ModeT/models.py:337-412`.
 """
@@ -40,7 +42,13 @@ import jax
 import jax.numpy as jnp
 
 from smilecode_tpu.kernels.modet_attn import modet_attention_planes_diff
-from smilecode_tpu.kernels.warp3d import warp3d_planes, KD, KHA, HB
+from smilecode_tpu.kernels.warp3d_v3 import (
+    warp3d_planes_v3,
+    warp3d_planes_v3_dflow,
+    KD as KD3,
+    KHA as KHA3,
+    HB,
+)
 
 
 def _round_up(x, m):
@@ -163,11 +171,6 @@ def upsample2_planes(x):
     return jnp.einsum("bcdhw,wv->bcdhv", x, g)
 
 
-# channel count at/above which the hardware warp uses the packed row-gather
-# instead of the windowed kernel (see _warp_planes_hw)
-WARP_PACKED_MIN_C = 5
-
-
 def _warp_planes_ref(src, flow):
     """Oracle-equivalent planes warp (differentiable XLA path): used as the
     backward recompute of the hardware warp and as the CPU path."""
@@ -184,48 +187,44 @@ def _warp_planes_ref(src, flow):
     return to_planes(warp_coords(from_planes(src), coords, (d, h, w)))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _warp_planes_hw(src, flow, guarded: bool):
-    """Hardware planes warp. Impl chosen by channel count (measured on-chip,
-    smooth flows at 160x192x160: windowed 59/187 ms at C=1/3 vs packed
-    96/172 — the windowed kernel's lane shuffles repeat per channel, so it
-    only wins for C<=2): windowed (+ optional guarded exact fallback) for
-    small C, the packed row-gather via one transpose pair for larger C.
-    Backward = VJP of the oracle-equivalent warp (exact)."""
-    b, c, d, h, w = src.shape
-
-    # threshold (overridable): windowed C=3 (187 ms) ~ packed C=3 (172 ms)
-    # on RANDOM flows but avoids the pack-piece memory; for C>=8 packed is
-    # ~2.6x faster on random flows. On SMOOTH flows (what registration
-    # produces; also the bench's near-zero init flows) the windowed kernel's
-    # adaptive candidate loops collapse and it wins at every C — set
-    # WARP_PACKED_MIN_C high to route everything through it.
-    if c >= WARP_PACKED_MIN_C:
-        from smilecode_tpu.ops.warp import _warp_bilinear_packed
-
-        out = _warp_bilinear_packed(from_planes(src), from_planes(flow))
-        return to_planes(out)
-
+def _planes_coords(flow, d, h, w):
+    """Absolute sample coords (B, D, H, W) x 3 from a planes flow."""
     base_d = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 1)
     base_h = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 2)
     base_w = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 3)
     fl = flow.astype(jnp.float32)
-    cd = base_d + fl[:, 0]
-    ch = base_h + fl[:, 1]
-    cw = base_w + fl[:, 2]
+    return base_d + fl[:, 0], base_h + fl[:, 1], base_w + fl[:, 2]
+
+
+# tests set this to run the v3 kernels in Pallas interpret mode on CPU
+_V3_INTERPRET = False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _warp_planes_hw(src, flow, guarded: bool):
+    """Hardware planes warp: the v3 relative-shift kernel at EVERY channel
+    count — one program per (batch, d', 8-row) tile serves all C channels
+    from a single window DMA, so the per-channel marginal is one roll+fma
+    chain (~3.5 ms at full res) instead of v2's repeated crossbar gathers or
+    the packed path's 16x-padded row gathers (on-chip at 160x192x160,
+    smooth flows: v3 35/56 ms at C=1/8 vs v2 31/~500, packed 96/229).
+
+    When guarded, flows whose per-tile cell spread exceeds the v3 window
+    budget fall back to the naive-gather oracle (exact, memory-light; the
+    packed path inside a cond branch would reserve its multi-GB pack
+    temps)."""
+    b, c, d, h, w = src.shape
+    cd, ch, cw = _planes_coords(flow, d, h, w)
     planes = src.reshape(b * c, d, h, w)
 
-    def windowed(pl_, cd_, ch_, cw_):
-        return warp3d_planes(pl_, cd_, ch_, cw_, c, False)
+    def v3(pl_, cd_, ch_, cw_):
+        return warp3d_planes_v3(pl_, cd_, ch_, cw_, c, _V3_INTERPRET)
 
     if not guarded:
-        out = windowed(planes, cd, ch, cw)
+        out = v3(planes, cd, ch, cw)
         return out.reshape(b, c, d, h, w).astype(src.dtype)
 
     def fallback(pl_, cd_, ch_, cw_):
-        # naive-gather oracle: slow but exact and memory-light — the packed
-        # path inside a cond branch holds multi-GB pack temps (see
-        # kernels/warp3d.warp3d_guarded)
         from smilecode_tpu.ops.warp import warp_coords
 
         src5 = from_planes(pl_.reshape(b, c, d, h, w))
@@ -234,7 +233,7 @@ def _warp_planes_hw(src, flow, guarded: bool):
         return to_planes(out).reshape(b * c, d, h, w).astype(jnp.float32)
 
     viol = _violations_from_coords(cd, ch, d, h, w)
-    out = jax.lax.cond(viol > 0, fallback, windowed, planes, cd, ch, cw)
+    out = jax.lax.cond(viol > 0, fallback, v3, planes, cd, ch, cw)
     return out.reshape(b, c, d, h, w).astype(src.dtype)
 
 
@@ -243,9 +242,41 @@ def _warp_hw_fwd(src, flow, guarded):
 
 
 def _warp_hw_bwd(guarded, res, g):
+    """Fused-kernel adjoint: d_flow via `warp3d_planes_v3_dflow` (the
+    derivative-coefficient twin of the forward, same window DMA and shift
+    loops — mirrors the reference's native backward split,
+    `/root/reference/ModeT-cu/modet/modet_kernel.cu:318-381`); d_src via the
+    oracle's linear transpose (XLA scatter-add). When src is a non-diff
+    constant (the final moving-image warp) XLA dead-code-eliminates the
+    scatter, so only the kernel runs. Under the guard, wild flows route the
+    WHOLE adjoint through the oracle VJP so fwd/bwd always agree."""
     src, flow = res
-    _, vjp = jax.vjp(_warp_planes_ref, src, flow)
-    return vjp(g)
+    b, c, d, h, w = src.shape
+    cd, ch, cw = _planes_coords(flow, d, h, w)
+    planes = src.reshape(b * c, d, h, w)
+    gp = g.astype(jnp.float32).reshape(b * c, d, h, w)
+
+    def kernel_bwd(src_, flow_, g_):
+        dcd, dch, dcw = warp3d_planes_v3_dflow(
+            planes, cd, ch, cw, gp, c, _V3_INTERPRET
+        )
+        d_flow = jnp.stack([dcd, dch, dcw], axis=1)
+        # d_src = transpose of the gather; only the src-cotangent is used
+        # so jax materializes just the scatter half of the oracle VJP
+        _, vjp = jax.vjp(lambda s: _warp_planes_ref(s, flow_), src_)
+        (d_src,) = vjp(g_)
+        return d_src, d_flow.astype(flow_.dtype)
+
+    def oracle_bwd(src_, flow_, g_):
+        _, vjp = jax.vjp(_warp_planes_ref, src_, flow_)
+        d_src, d_flow = vjp(g_)
+        return d_src, d_flow
+
+    if not guarded:
+        return kernel_bwd(src, flow, g)
+
+    viol = _violations_from_coords(cd, ch, d, h, w)
+    return jax.lax.cond(viol > 0, oracle_bwd, kernel_bwd, src, flow, g)
 
 
 _warp_planes_hw.defvjp(_warp_hw_fwd, _warp_hw_bwd)
@@ -263,8 +294,8 @@ def warp_planes(src, flow, on_tpu: bool, guarded: bool = True):
 
 
 def _violations_from_coords(cd, ch, sd, sh, sw):
-    """Tile (d, h) cell-spread violation count from absolute coords
-    (mirrors `kernels.warp3d.warp_window_violations`)."""
+    """Tile (d, h) cell-spread violation count against the v3 window budget
+    (mirrors `kernels.warp3d_v3.warp_v3_window_violations`)."""
     b, fd, fh, fw = cd.shape
     celld = jnp.floor(cd)
     cellh = jnp.floor(ch)
@@ -275,7 +306,7 @@ def _violations_from_coords(cd, ch, sd, sh, sw):
     cellh = cellh.reshape(b, fd, fhp // HB, HB * fw)
     d_spread = jnp.max(celld, -1) - jnp.min(celld, -1)
     h_spread = jnp.max(cellh, -1) - jnp.min(cellh, -1)
-    bad = (d_spread > KD - 2) | (h_spread > KHA - 10)
+    bad = (d_spread > KD3 - 2) | (h_spread > KHA3 - 10)
     return jnp.sum(bad.astype(jnp.int32))
 
 

@@ -70,7 +70,16 @@ def resolve_weights(weights, n_criterions: int) -> list[float]:
     return weights[:n_criterions]
 
 
-def make_train_step(spec, tx, weights, use_fast: bool = False):
+def make_train_step(spec, tx, weights, use_fast: bool = False, mesh=None):
+    """One donated jit: fwd + loss + grad + optimizer update.
+
+    mesh: when given (and its "data" axis > 1) the loss/grad computation runs
+    inside `shard_map` over the data axis — each shard runs the LOCAL graph
+    (including the planes fast path's Pallas kernels, which GSPMD cannot
+    auto-partition) on its slice of the batch, and gradients/losses are
+    pmean-reduced. Without a mesh, jit + sharded inputs let GSPMD partition
+    the flax graph as before.
+    """
     criterions = [CRITERIA[c] for c in spec.criterions]
     weights = resolve_weights(weights, len(criterions))
     forward = (
@@ -79,8 +88,7 @@ def make_train_step(spec, tx, weights, use_fast: bool = False):
         else (lambda p, x, y: spec.module.apply(p, x, y))
     )
 
-    @functools.partial(jax.jit, donate_argnums=(0, 1))
-    def step(params, opt_state, x, y):
+    def loss_and_grads(params, x, y):
         def loss_fn(p):
             outs = forward(p, x, y)
             outs = spec.select_train_outputs(outs)
@@ -93,7 +101,33 @@ def make_train_step(spec, tx, weights, use_fast: bool = False):
             ]
             return sum(losses), tuple(losses)
 
-        (loss, loss_vals), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    if mesh is not None and mesh.shape.get("data", 1) > 1:
+        from jax.sharding import PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+
+        def sharded_lg(params, x, y):
+            (loss, loss_vals), grads = loss_and_grads(params, x, y)
+            # per-shard losses are means over the local batch; pmean over
+            # equal shards = the global batch mean (reference semantics)
+            loss = jax.lax.pmean(loss, "data")
+            loss_vals = jax.tree.map(lambda v: jax.lax.pmean(v, "data"), loss_vals)
+            grads = jax.tree.map(lambda g: jax.lax.pmean(g, "data"), grads)
+            return (loss, loss_vals), grads
+
+        lg = shard_map(
+            sharded_lg, mesh=mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=((P(), P()), P()),
+            check_rep=False,
+        )
+    else:
+        lg = loss_and_grads
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, x, y):
+        (loss, loss_vals), grads = lg(params, x, y)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, loss_vals
@@ -169,15 +203,17 @@ def main(cfg: TrainConfig):
 
     fast = getattr(cfg, "fast_path", "off")
     use_fast = fast == "planes" or (fast == "auto" and jax.default_backend() == "tpu")
+    step_mesh = None
     if use_fast and cfg.dp > 1:
-        # the planes path is single-device for now (no sharding annotations)
-        use_fast = False
-        print(
-            f"WARNING: fast_path={fast!r} is single-device; dp={cfg.dp} falls "
-            "back to the flax graph (~3.7x slower at full res). Use dp=1 for "
-            "the planes fast path, or shard across pairs with separate runs."
-        )
-    train_step = make_train_step(spec, tx, list(cfg.weights), use_fast=use_fast)
+        # DP x planes: shard_map over the data axis — each device runs the
+        # full planes graph (Pallas kernels included) on its slice of the
+        # batch; grads are pmean-reduced inside the step
+        step_mesh = mesh
+        print(f"fast_path={fast!r} with dp={cfg.dp}: planes graph per shard "
+              "via shard_map over ('data',)")
+    train_step = make_train_step(
+        spec, tx, list(cfg.weights), use_fast=use_fast, mesh=step_mesh
+    )
     eval_step = make_eval_step(spec)
 
     for epoch in range(epoch_start, cfg.max_epoch):

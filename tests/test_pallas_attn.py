@@ -66,6 +66,63 @@ def test_kernel_grads_match_oracle(shape, heads, scale):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
 
 
+def test_kernel_grads_multiblock():
+    """h=72 -> hp=72, hb=24, 3 h-blocks: exercises B2's clamped unpadded
+    window reads at interior blocks (base=8) and both h edges (base=0 and
+    the top clamp), which single-block shapes never hit."""
+    d, h, w = 4, 72, 5
+    q = jnp.asarray(RNG.standard_normal((1, d, h, w, 1, 4)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((1, d, h, w, 1, 4)).astype(np.float32))
+    rpb = jnp.asarray((RNG.standard_normal((1, 3, 3, 3)) * 0.2).astype(np.float32))
+    gcot = jnp.asarray(RNG.standard_normal((1, d, h, w, 3)).astype(np.float32))
+
+    def loss_pallas(q, k, r):
+        return jnp.sum(modet_attention_pallas(q, k, r, 1.0, True) * gcot)
+
+    def loss_oracle(q, k, r):
+        return jnp.sum(_neighborhood_attention_xla(q, k, r, 1.0) * gcot)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, k, rpb)
+    g2 = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, rpb)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+
+def test_planes_grads_bf16_io():
+    """bf16 q/k through the planes-diff entry: d_logits persists bf16
+    (dtype-follow); grads must track the f32 oracle within bf16 tolerance."""
+    from smilecode_tpu.kernels.modet_attn import modet_attention_planes_diff
+
+    d, h, w, hd = 4, 8, 6, 4
+    q = jnp.asarray(RNG.standard_normal((1, d, h, w, 1, hd)).astype(np.float32))
+    k = jnp.asarray(RNG.standard_normal((1, d, h, w, 1, hd)).astype(np.float32))
+    rpb = jnp.asarray((RNG.standard_normal((1, 3, 3, 3)) * 0.2).astype(np.float32))
+    gcot = jnp.asarray(RNG.standard_normal((1, 3, d, h, w)).astype(np.float32))
+
+    def to_planes(x):
+        return x.transpose(0, 4, 1, 5, 2, 3).reshape(1, d, hd, h, w)
+
+    def loss_bf16(q, k, r):
+        out = modet_attention_planes_diff(
+            to_planes(q).astype(jnp.bfloat16),
+            to_planes(k).astype(jnp.bfloat16),
+            r, 1, 1.0, True,
+        )
+        return jnp.sum(out * gcot)
+
+    def loss_oracle(q, k, r):
+        out = _neighborhood_attention_xla(q, k, r, 1.0)
+        out = out.reshape(1, d, h, w, 1, 3).transpose(0, 4, 5, 1, 2, 3)
+        return jnp.sum(out.reshape(1, 3, d, h, w) * gcot)
+
+    g1 = jax.grad(loss_bf16, argnums=(0, 1, 2))(q, k, rpb)
+    g2 = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, k, rpb)
+    for a, b in zip(g1, g2):
+        err = np.abs(np.asarray(a, np.float32) - np.asarray(b))
+        scale_ref = np.abs(np.asarray(b)).max() + 1e-6
+        assert err.max() / scale_ref < 0.05, err.max() / scale_ref
+
+
 def test_kernel_grads_no_rpb():
     q = jnp.asarray(RNG.standard_normal((1, 4, 8, 4, 1, 6)).astype(np.float32))
     k = jnp.asarray(RNG.standard_normal((1, 4, 8, 4, 1, 6)).astype(np.float32))
