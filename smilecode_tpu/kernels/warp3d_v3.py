@@ -156,10 +156,13 @@ def _warp_v3_kernel(c: int, sd: int, sh: int, sw: int,
                 )
                 new = []
                 for cc in range(c):
-                    rows16 = win[cc, rd_c, pl.ds(start, 16), :]
+                    # f32 before the rolls: Mosaic's dynamic_rotate only
+                    # handles 32-bit data (bf16 windows stay bf16 in the DMA
+                    # and scratch — only the vreg tile is widened)
+                    rows16 = win[cc, rd_c, pl.ds(start, 16), :].astype(jnp.float32)
                     rows8 = pltpu.roll(rows16, -sub, axis=0)[:HB]
                     cand = pltpu.roll(rows8, -s, axis=1)[:, :fwp]
-                    new.append(accs[cc] + wgt * cand.astype(jnp.float32))
+                    new.append(accs[cc] + wgt * cand)
                 return tuple(new)
 
             return jax.lax.fori_loop(smin, smax + 2, s_body, accs)
@@ -330,10 +333,11 @@ def _warp_v3_dflow_kernel(c: int, sd: int, sh: int, sw: int,
                 der_w = m_w1 * ind_w1 - m_w0 * ind_w0
                 p = zero
                 for cc in range(c):
-                    rows16 = win[cc, rd_c, pl.ds(start, 16), :]
+                    # f32 before the rolls (Mosaic: 32-bit-only dynamic_rotate)
+                    rows16 = win[cc, rd_c, pl.ds(start, 16), :].astype(jnp.float32)
                     rows8 = pltpu.roll(rows16, -sub, axis=0)[:HB]
                     cand = pltpu.roll(rows8, -s, axis=1)[:, :fwp]
-                    p = p + g[cc] * cand.astype(jnp.float32)
+                    p = p + g[cc] * cand
                 acc_d = acc_d + der_d * wgt_h * wgt_w * p
                 acc_h = acc_h + wgt_d * der_h * wgt_w * p
                 acc_w = acc_w + wgt_d * wgt_h * der_w * p
