@@ -45,10 +45,10 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _pick_h_block(hp: int) -> int:
+def _pick_h_block(hp: int, maxb: int = 64) -> int:
     """hp is a multiple of 8; pick a block size that divides it."""
     for cand in (64, 56, 48, 40, 32, 24, 16, 8):
-        if hp % cand == 0:
+        if cand <= maxb and hp % cand == 0:
             return cand
     return hp
 
@@ -365,6 +365,13 @@ def _backward_planes(qs, kpl, rpb, heads, scale, gs, interpret=False):
     wpk = wp + 128
     hp = _round_up(h, 8)
     hb = _pick_h_block(hp)
+    # B1's per-program footprint (double-buffered q/g/dq/dl blocks + k-window
+    # + logit scratch) overflows the 16M scoped-VMEM limit at f32 io with
+    # hb*wp = 64*256 (measured 17.79M at full res); cap the row block so
+    # hb*wp <= 48*256 there. bf16 io halves dl/ksc and fits at 64.
+    if io_dt == jnp.float32:
+        while hb > 8 and hb * wp > 48 * 256:
+            hb = _pick_h_block(hp, hb - 8)
     nblk = hp // hb
     rows_n = min(hb + 16, hp)
 

@@ -134,7 +134,7 @@ def test_train_loss_decreases(model_and_params):
 
     losses = []
     p = params
-    for _ in range(8):
+    for _ in range(6):
         p, opt_state, loss = step(p, opt_state)
         losses.append(float(loss))
     # Adam has a small transient after step 0; judge the trend, not step 1

@@ -19,7 +19,8 @@ SHAPE = (32, 32, 32)
 
 
 @pytest.fixture(scope="module")
-def modet_ref():
+def modet_setup():
+    """Cheap shared setup: model + excited params only (no forward)."""
     model = ModeT(qk_scale=1.0)
     rng = np.random.default_rng(11)
     moving = jnp.asarray(rng.random((1, *SHAPE, 1), dtype=np.float64).astype(np.float32))
@@ -35,7 +36,15 @@ def modet_ref():
     params = jax.tree_util.tree_map_with_path(
         lambda p, x: excite([getattr(k, "key", k) for k in p], x), params
     )
-    moved, flow = model.apply(params, moving, fixed)
+    return model, params, moving, fixed
+
+
+@pytest.fixture(scope="module")
+def modet_ref(modet_setup):
+    """Reference forward for the equality test. jitted: eager flax apply
+    dispatches op-by-op on CPU (~90 s for this fixture pre-jit)."""
+    model, params, moving, fixed = modet_setup
+    moved, flow = jax.jit(model.apply)(params, moving, fixed)
     return model, params, moving, fixed, np.asarray(moved), np.asarray(flow)
 
 
@@ -50,8 +59,8 @@ def test_sharded_equals_unsharded(modet_ref, n_spatial):
     np.testing.assert_allclose(np.asarray(moved), ref_moved, atol=2e-4, rtol=1e-3)
 
 
-def test_sharded_wrong_divisibility(modet_ref):
-    model, params, moving, fixed, *_ = modet_ref
+def test_sharded_wrong_divisibility(modet_setup):
+    model, params, moving, fixed = modet_setup
     mesh = make_mesh(dp=1, spatial=2)
     bad = jnp.zeros((1, 24, 32, 32, 1), jnp.float32)
     with pytest.raises(ValueError):

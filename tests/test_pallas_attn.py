@@ -42,7 +42,7 @@ def test_kernel_no_rpb():
 
 @pytest.mark.parametrize(
     "shape,heads,scale",
-    [((4, 8, 4), 1, 1.0),
+    [pytest.param((4, 8, 4), 1, 1.0, marks=pytest.mark.slow),
      pytest.param((6, 10, 5), 2, 0.408, marks=pytest.mark.slow)],
 )
 def test_kernel_grads_match_oracle(shape, heads, scale):
@@ -123,6 +123,7 @@ def test_planes_grads_bf16_io():
         assert err.max() / scale_ref < 0.05, err.max() / scale_ref
 
 
+@pytest.mark.slow  # rpb=None backward variant; multiblock covers B1/B2 f32
 def test_kernel_grads_no_rpb():
     q = jnp.asarray(RNG.standard_normal((1, 4, 8, 4, 1, 6)).astype(np.float32))
     k = jnp.asarray(RNG.standard_normal((1, 4, 8, 4, 1, 6)).astype(np.float32))

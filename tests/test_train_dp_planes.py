@@ -1,6 +1,14 @@
 """DP x planes fast path: the shard_map train step must match the
 single-device planes step (same params, same batch) — VERDICT r2 weak #4:
 "SURVEY §2.5's promise was sharding for *the* model, not for the slow twin".
+
+The planes attention is monkeypatched to an XLA-oracle adapter with the
+same planes contract: on CPU the fused Pallas kernels (fwd + B1/B2 bwd)
+only run in interpret mode, which made this test the slowest in the suite
+(~400 s) while adding no kernel coverage (tests/test_pallas_attn.py owns
+kernel-vs-oracle equality, including planes-layout grads). Both the
+single-device and the shard_map step use the same patched forward, so the
+DP-equality property under test is unchanged.
 """
 
 import jax
@@ -11,8 +19,24 @@ import pytest
 
 from smilecode_tpu.config import TrainConfig
 from smilecode_tpu.models.registry import build_model
+from smilecode_tpu.models import modet_planes as MP
+from smilecode_tpu.ops.attention import _neighborhood_attention_xla
 from smilecode_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from smilecode_tpu.train import make_train_step
+
+
+def _oracle_attention_planes(qs, kplanes, rpb, heads, scale=1.0, interpret=False):
+    """XLA-oracle twin of `modet_attention_planes_diff` (same planes
+    contract: (B*heads, D, hd, H, W) in -> (B*heads, 3, D, H, W) out)."""
+    bh, d, hd, h, w = qs.shape
+    b = bh // heads
+
+    def to_ndhwc(x):
+        return x.reshape(b, heads, d, hd, h, w).transpose(0, 2, 4, 5, 1, 3)
+
+    out = _neighborhood_attention_xla(to_ndhwc(qs), to_ndhwc(kplanes), rpb, scale)
+    out = out.reshape(b, d, h, w, heads, 3).transpose(0, 4, 5, 1, 2, 3)
+    return out.reshape(bh, 3, d, h, w)
 
 
 def _tiny_setup():
@@ -20,14 +44,15 @@ def _tiny_setup():
     spec = build_model("modet", cfg)
     shape = (32, 32, 32)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random((4, *shape, 1), np.float32))
-    y = jnp.asarray(rng.random((4, *shape, 1), np.float32))
+    x = jnp.asarray(rng.random((2, *shape, 1), np.float32))
+    y = jnp.asarray(rng.random((2, *shape, 1), np.float32))
     dummy = jnp.zeros((1, *shape, 1), jnp.float32)
     params = jax.jit(spec.module.init)(jax.random.PRNGKey(0), dummy, dummy)
     return spec, params, x, y
 
 
-def test_dp_planes_step_matches_single_device():
+def test_dp_planes_step_matches_single_device(monkeypatch):
+    monkeypatch.setattr(MP, "modet_attention_planes_diff", _oracle_attention_planes)
     spec, params, x, y = _tiny_setup()
     # sgd: params' diff = lr * grads' diff, so this asserts GRADIENT equality
     # directly; adam-family steps amplify ~1e-7 pmean reorderings to ~30% of
@@ -40,8 +65,8 @@ def test_dp_planes_step_matches_single_device():
         jax.tree.map(jnp.copy, params), tx.init(params), x, y
     )
 
-    # 4-way DP over a data mesh, planes graph per shard via shard_map
-    mesh = make_mesh(dp=4)
+    # 2-way DP over a data mesh, planes graph per shard via shard_map
+    mesh = make_mesh(dp=2)
     assert mesh is not None, "conftest provides 8 virtual devices"
     stepN = make_train_step(spec, tx, [1.0, 1.0], use_fast=True, mesh=mesh)
     pN, _, lossN, lvN = stepN(
