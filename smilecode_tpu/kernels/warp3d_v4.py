@@ -1,0 +1,472 @@
+"""Pallas TPU warp kernel v4: whole-plane programs, relative-shift loops.
+
+v3 (`kernels/warp3d_v3.py`) runs one program per (batch, d', 8-row block):
+3840 programs at full res, each issuing a BLOCKING (C, KD, KHA, W) window
+DMA before ~8 VPU loop iterations. A device trace of the e2e forward showed
+the three full-res warps at ~50 ms combined with near-zero flows — almost
+entirely per-program DMA stall, not compute: consecutive 8-row programs
+re-fetch 6x-overlapping windows (KHA=32 rows for 8 output rows) and nothing
+hides the copy latency.
+
+v4 collapses the h-block grid axis into the program: one program per
+(batch, d') fetches ONE (C, KD, Hpadded, W) window covering the full H
+extent, then loops over the 8-row blocks in-kernel with the same
+relative-shift candidate loops as v3 (per-block data-dependent rd/t/s
+ranges, masks and both interpolation corners folded into the shift loop).
+Consequences:
+
+  * 24x fewer programs and DMAs at full res; window traffic drops ~5x
+    (no row overlap between programs);
+  * the h-axis window budget DISAPPEARS: the window holds every padded
+    source row, so h-displacement is unbounded (exact for any flow_h), like
+    W. Only the d-axis keeps a budget: the per-PLANE d-cell spread must fit
+    KD-2 (`warp_v4_window_violations`);
+  * the per-(rd, t) sublane roll is hoisted out of the s loop (v3 redid the
+    16-row slice + sublane roll for every lane shift).
+
+VMEM: the window is (C, KD, Hp+24, Wp) in the io dtype; channel counts that
+would overflow the budget are split into chunks by the wrapper (ModeT's
+shapes all fit in one call). Semantics: align_corners=True, zeros padding,
+matching `ops.warp._warp_simple` (reference grid_sample hot path,
+`/root/reference/ModeT/models.py:25-67`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+KD = 8    # window depth slabs (PER-PLANE d-cell spread budget = KD-2)
+# 16 output rows per in-kernel block: the per-block fixed costs (8 cross-lane
+# min/max reductions, loop setup, weight precompute) dominated at HB=8 —
+# doubling the block halves them while the per-element vector work stays flat
+HB = 16
+HMARGIN = HB  # lead rows so aligned (HB+8)-row slices exist for negative t
+
+# VMEM budget for the (C, KD, rows, Wp) window; larger requests are split
+# into channel chunks by the wrapper
+_WIN_BYTES_MAX = 8 * 1024 * 1024
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _warp_v4_kernel(c: int, sd: int, sh: int, sw: int,
+                    sdp: int, shp: int, swp: int, fwp: int,
+                    kd_n: int, nhb: int, fh: int, fw: int,
+                    cd_ref, ch_ref, cw_ref, src_hbm, o_ref, win, sem):
+    b = pl.program_id(0)
+
+    # plane-wide d window: dmin from the full coords block
+    fd0_all = jnp.floor(cd_ref[0, 0])
+    celld_all = jnp.clip(fd0_all, -1.0, float(sd)).astype(jnp.int32) + 1
+    dmin = jnp.clip(jnp.min(celld_all), 0, sdp - kd_n)
+
+    # ONE DMA for all channels x all rows; rows land at sublane HMARGIN
+    cp = pltpu.make_async_copy(
+        src_hbm.at[pl.ds(b * c, c), pl.ds(dmin, kd_n), :, :],
+        win.at[:, :, pl.ds(HMARGIN, shp), :],
+        sem,
+    )
+    cp.start()
+    # zero the sublane margins (read by shifted slices, then 0-weighted;
+    # uninitialized VMEM would leak NaN through 0 * NaN)
+    rows_total = win.shape[2]
+    win[:, :, :HMARGIN, :] = jnp.zeros((c, kd_n, HMARGIN, swp), win.dtype)
+    win[:, :, HMARGIN + shp:, :] = jnp.zeros(
+        (c, kd_n, rows_total - HMARGIN - shp, swp), win.dtype
+    )
+
+    hloc = jax.lax.broadcasted_iota(jnp.int32, (HB, fwp), 0)
+    wloc = jax.lax.broadcasted_iota(jnp.int32, (HB, fwp), 1)
+
+    cp.wait()
+
+    zero = jnp.zeros((HB, fwp), jnp.float32)
+
+    def blk_body(blk, carry):
+        r0 = blk * HB
+        cdv = cd_ref[0, 0, pl.ds(r0, HB), :]
+        chv = ch_ref[0, 0, pl.ds(r0, HB), :]
+        cwv = cw_ref[0, 0, pl.ds(r0, HB), :]
+
+        fd0 = jnp.floor(cdv)
+        fh0 = jnp.floor(chv)
+        fw0 = jnp.floor(cwv)
+        td = cdv - fd0
+        th = chv - fh0
+        tw = cwv - fw0
+        # cell indices into the padded source (+1 leading pad); pad zeros
+        # implement grid_sample's zero padding
+        celld = jnp.clip(fd0, -1.0, float(sd)).astype(jnp.int32) + 1
+        cellh = jnp.clip(fh0, -1.0, float(sh)).astype(jnp.int32) + 1
+        cellw = jnp.clip(fw0, -1.0, float(sw)).astype(jnp.int32) + 1
+
+        rd = jnp.clip(celld - dmin, 0, kd_n - 2)
+        # relative shifts: source row = output row + t (whole padded H is in
+        # the window, so t is unbounded = h displacement is exact); lane
+        # shift s likewise
+        relh = cellh - (r0 + hloc)
+        rels = cellw - wloc
+
+        # loop ranges from REAL output positions only (edge-padded coord
+        # lanes/rows repeat a real coordinate while wloc/hloc keep growing)
+        real = (wloc < fw) & (r0 + hloc < fh)
+
+        # OOB corners get zero weight, computed from UNCLIPPED floors
+        wd0 = (1.0 - td) * ((fd0 >= 0) & (fd0 <= sd - 1))
+        wd1 = td * ((fd0 + 1 >= 0) & (fd0 + 1 <= sd - 1))
+        wh0 = (1.0 - th) * ((fh0 >= 0) & (fh0 <= sh - 1))
+        wh1 = th * ((fh0 + 1 >= 0) & (fh0 + 1 <= sh - 1))
+        tw0 = (1.0 - tw) * ((fw0 >= 0) & (fw0 <= sw - 1))
+        tw1 = tw * ((fw0 + 1 >= 0) & (fw0 + 1 <= sw - 1))
+
+        rdmin, rdmax = jnp.min(rd), jnp.max(rd)
+        tmin = jnp.min(jnp.where(real, relh, shp))
+        tmax = jnp.max(jnp.where(real, relh, -shp))
+        smin = jnp.min(jnp.where(real, rels, sw + 2))
+        smax = jnp.max(jnp.where(real, rels, -fwp))
+
+        def rd_body(rd_c, accs):
+            wgt_d = jnp.where(rd == rd_c, wd0, 0.0) + jnp.where(rd + 1 == rd_c, wd1, 0.0)
+
+            def t_body(t, accs):
+                wgt_dh = wgt_d * (
+                    jnp.where(relh == t, wh0, 0.0) + jnp.where(relh + 1 == t, wh1, 0.0)
+                )
+                # aligned 16-row slice holding source rows [r0+t, r0+t+8):
+                # buffer row of source row y is HMARGIN + y; floor-division
+                # alignment keeps the start a multiple of 8 for any sign
+                al = (t // 8) * 8
+                start = pl.multiple_of(HMARGIN + r0 + al, 8)
+                sub = t - al  # in [0, 8)
+                # sublane roll hoisted OUT of the s loop (v3 paid it per s):
+                # f32 before the rolls — Mosaic's dynamic_rotate is
+                # 32-bit-only; the window stays io-dtype (bf16 DMA halves
+                # traffic), only the (HB+8)-row vreg tile widens
+                rows = [
+                    pltpu.roll(
+                        win[cc, rd_c, pl.ds(start, HB + 8), :].astype(jnp.float32),
+                        -sub, axis=0,
+                    )[:HB]
+                    for cc in range(c)
+                ]
+
+                def s_body(s, accs):
+                    wgt = wgt_dh * (
+                        jnp.where(rels == s, tw0, 0.0) + jnp.where(rels + 1 == s, tw1, 0.0)
+                    )
+                    new = []
+                    for cc in range(c):
+                        cand = pltpu.roll(rows[cc], -s, axis=1)[:, :fwp]
+                        new.append(accs[cc] + wgt * cand)
+                    return tuple(new)
+
+                return jax.lax.fori_loop(smin, smax + 2, s_body, accs)
+
+            return jax.lax.fori_loop(tmin, tmax + 2, t_body, accs)
+
+        accs = jax.lax.fori_loop(rdmin, rdmax + 2, rd_body, (zero,) * c)
+        for cc in range(c):
+            o_ref[cc, 0, pl.ds(r0, HB), :] = accs[cc]
+        return carry
+
+    jax.lax.fori_loop(0, nhb, blk_body, 0)
+
+
+def _chunk_channels(c: int, kd_n: int, rows_total: int, swp: int, itemsize: int):
+    """Largest channel chunk whose window fits the VMEM budget."""
+    per_c = kd_n * rows_total * swp * itemsize
+    return max(1, min(c, _WIN_BYTES_MAX // max(per_c, 1)))
+
+
+def warp3d_planes_v4(planes, cd, ch, cw, c: int, interpret: bool = False):
+    """Planes-layout v4 entry: ``planes`` is (B*C, SD, SH, SW) with W minor;
+    cd/ch/cw are ABSOLUTE sample coordinates (B, FD, FH, FW). Returns
+    (B*C, FD, FH, FW) float32. Exact whenever the per-plane d-cell spread
+    fits KD-2 (`warp_v4_window_violations`); h/w displacement unbounded."""
+    bc = planes.shape[0]
+    b = bc // c
+    sd, sh, sw = planes.shape[1:]
+    fd, fh, fw = cd.shape[1:]
+
+    fhp = _round_up(fh, HB)
+    fwp = _round_up(fw, 128)
+    pads = ((0, 0), (0, 0), (0, fhp - fh), (0, fwp - fw))
+    # edge padding: pad lanes must not distort the tile min/max cell indices
+    cd = jnp.pad(cd, pads, mode="edge")
+    ch = jnp.pad(ch, pads, mode="edge")
+    cw = jnp.pad(cw, pads, mode="edge")
+
+    sdp = sd + 3
+    shp = _round_up(sh + 3, 8)
+    swp = _round_up(sw + 3, 128)
+    io_dt = planes.dtype if planes.dtype == jnp.bfloat16 else jnp.float32
+    kd_n = min(KD, sdp)
+    rows_total = HMARGIN + shp + HB + 8
+
+    cmax = _chunk_channels(c, kd_n, rows_total, swp, np.dtype(io_dt).itemsize)
+    if cmax < c:
+        # split channels into window-budget-sized chunks (rare: ModeT's
+        # shapes all fit); per-b channel slices via a (B, C, ...) view
+        grouped = planes.reshape(b, c, sd, sh, sw)
+        outs = []
+        for c0 in range(0, c, cmax):
+            cn = min(cmax, c - c0)
+            chunk = grouped[:, c0:c0 + cn].reshape(b * cn, sd, sh, sw)
+            outs.append(
+                warp3d_planes_v4(chunk, cd[..., :fh, :fw], ch[..., :fh, :fw],
+                                 cw[..., :fh, :fw], cn, interpret)
+                .reshape(b, cn, fd, fh, fw)
+            )
+        return jnp.concatenate(outs, axis=1).reshape(b * c, fd, fh, fw)
+
+    planes = jnp.pad(
+        planes.astype(io_dt), ((0, 0), (1, 2), (1, shp - sh - 1), (1, swp - sw - 1))
+    )
+
+    kernel = functools.partial(
+        _warp_v4_kernel, c, sd, sh, sw, sdp, shp, swp, fwp, kd_n, fhp // HB, fh, fw
+    )
+    coord_spec = pl.BlockSpec(
+        (1, 1, fhp, fwp), lambda b, d: (b, d, 0, 0), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, fd),
+        in_specs=[
+            coord_spec, coord_spec, coord_spec,
+            pl.BlockSpec(memory_space=pl.ANY),  # src planes in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (c, 1, fhp, fwp), lambda b, d: (b, d, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bc, fd, fhp, fwp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((c, kd_n, rows_total, swp), io_dt),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(cd, ch, cw, planes)
+    return out[:, :, :fh, :fw]
+
+
+def _warp_v4_dflow_kernel(c: int, sd: int, sh: int, sw: int,
+                          sdp: int, shp: int, swp: int, fwp: int,
+                          kd_n: int, nhb: int, fh: int, fw: int,
+                          cd_ref, ch_ref, cw_ref, g_ref, src_hbm,
+                          od_ref, oh_ref, ow_ref, win, sem):
+    """d_coords of the v4 warp: the forward's loops with the trilinear value
+    weights replaced by their per-axis derivative coefficients (see
+    `warp3d_v3._warp_v3_dflow_kernel`); whole-plane program structure."""
+    b = pl.program_id(0)
+
+    fd0_all = jnp.floor(cd_ref[0, 0])
+    celld_all = jnp.clip(fd0_all, -1.0, float(sd)).astype(jnp.int32) + 1
+    dmin = jnp.clip(jnp.min(celld_all), 0, sdp - kd_n)
+
+    cp = pltpu.make_async_copy(
+        src_hbm.at[pl.ds(b * c, c), pl.ds(dmin, kd_n), :, :],
+        win.at[:, :, pl.ds(HMARGIN, shp), :],
+        sem,
+    )
+    cp.start()
+    rows_total = win.shape[2]
+    win[:, :, :HMARGIN, :] = jnp.zeros((c, kd_n, HMARGIN, swp), win.dtype)
+    win[:, :, HMARGIN + shp:, :] = jnp.zeros(
+        (c, kd_n, rows_total - HMARGIN - shp, swp), win.dtype
+    )
+
+    hloc = jax.lax.broadcasted_iota(jnp.int32, (HB, fwp), 0)
+    wloc = jax.lax.broadcasted_iota(jnp.int32, (HB, fwp), 1)
+
+    cp.wait()
+
+    zero = jnp.zeros((HB, fwp), jnp.float32)
+
+    def blk_body(blk, carry):
+        r0 = blk * HB
+        cdv = cd_ref[0, 0, pl.ds(r0, HB), :]
+        chv = ch_ref[0, 0, pl.ds(r0, HB), :]
+        cwv = cw_ref[0, 0, pl.ds(r0, HB), :]
+        g = [g_ref[cc, 0, pl.ds(r0, HB), :].astype(jnp.float32) for cc in range(c)]
+
+        fd0 = jnp.floor(cdv)
+        fh0 = jnp.floor(chv)
+        fw0 = jnp.floor(cwv)
+        td = cdv - fd0
+        th = chv - fh0
+        tw = cwv - fw0
+        celld = jnp.clip(fd0, -1.0, float(sd)).astype(jnp.int32) + 1
+        cellh = jnp.clip(fh0, -1.0, float(sh)).astype(jnp.int32) + 1
+        cellw = jnp.clip(fw0, -1.0, float(sw)).astype(jnp.int32) + 1
+
+        rd = jnp.clip(celld - dmin, 0, kd_n - 2)
+        relh = cellh - (r0 + hloc)
+        rels = cellw - wloc
+
+        real = (wloc < fw) & (r0 + hloc < fh)
+
+        ind_d0 = ((fd0 >= 0) & (fd0 <= sd - 1)).astype(jnp.float32)
+        ind_d1 = ((fd0 + 1 >= 0) & (fd0 + 1 <= sd - 1)).astype(jnp.float32)
+        ind_h0 = ((fh0 >= 0) & (fh0 <= sh - 1)).astype(jnp.float32)
+        ind_h1 = ((fh0 + 1 >= 0) & (fh0 + 1 <= sh - 1)).astype(jnp.float32)
+        ind_w0 = ((fw0 >= 0) & (fw0 <= sw - 1)).astype(jnp.float32)
+        ind_w1 = ((fw0 + 1 >= 0) & (fw0 + 1 <= sw - 1)).astype(jnp.float32)
+        wd0 = (1.0 - td) * ind_d0
+        wd1 = td * ind_d1
+        wh0 = (1.0 - th) * ind_h0
+        wh1 = th * ind_h1
+        tw0 = (1.0 - tw) * ind_w0
+        tw1 = tw * ind_w1
+
+        rdmin, rdmax = jnp.min(rd), jnp.max(rd)
+        tmin = jnp.min(jnp.where(real, relh, shp))
+        tmax = jnp.max(jnp.where(real, relh, -shp))
+        smin = jnp.min(jnp.where(real, rels, sw + 2))
+        smax = jnp.max(jnp.where(real, rels, -fwp))
+
+        def rd_body(rd_c, accs):
+            m_d0 = (rd == rd_c).astype(jnp.float32)
+            m_d1 = (rd + 1 == rd_c).astype(jnp.float32)
+            wgt_d = m_d0 * wd0 + m_d1 * wd1
+            der_d = m_d1 * ind_d1 - m_d0 * ind_d0
+
+            def t_body(t, accs):
+                m_h0 = (relh == t).astype(jnp.float32)
+                m_h1 = (relh + 1 == t).astype(jnp.float32)
+                wgt_h = m_h0 * wh0 + m_h1 * wh1
+                der_h = m_h1 * ind_h1 - m_h0 * ind_h0
+                al = (t // 8) * 8
+                start = pl.multiple_of(HMARGIN + r0 + al, 8)
+                sub = t - al
+                rows = [
+                    pltpu.roll(
+                        win[cc, rd_c, pl.ds(start, HB + 8), :].astype(jnp.float32),
+                        -sub, axis=0,
+                    )[:HB]
+                    for cc in range(c)
+                ]
+
+                def s_body(s, accs):
+                    acc_d, acc_h, acc_w = accs
+                    m_w0 = (rels == s).astype(jnp.float32)
+                    m_w1 = (rels + 1 == s).astype(jnp.float32)
+                    wgt_w = m_w0 * tw0 + m_w1 * tw1
+                    der_w = m_w1 * ind_w1 - m_w0 * ind_w0
+                    p = zero
+                    for cc in range(c):
+                        cand = pltpu.roll(rows[cc], -s, axis=1)[:, :fwp]
+                        p = p + g[cc] * cand
+                    acc_d = acc_d + der_d * wgt_h * wgt_w * p
+                    acc_h = acc_h + wgt_d * der_h * wgt_w * p
+                    acc_w = acc_w + wgt_d * wgt_h * der_w * p
+                    return (acc_d, acc_h, acc_w)
+
+                return jax.lax.fori_loop(smin, smax + 2, s_body, accs)
+
+            return jax.lax.fori_loop(tmin, tmax + 2, t_body, accs)
+
+        acc_d, acc_h, acc_w = jax.lax.fori_loop(
+            rdmin, rdmax + 2, rd_body, (zero, zero, zero)
+        )
+        od_ref[0, 0, pl.ds(r0, HB), :] = acc_d
+        oh_ref[0, 0, pl.ds(r0, HB), :] = acc_h
+        ow_ref[0, 0, pl.ds(r0, HB), :] = acc_w
+        return carry
+
+    jax.lax.fori_loop(0, nhb, blk_body, 0)
+
+
+def warp3d_planes_v4_dflow(planes, cd, ch, cw, g, c: int, interpret: bool = False):
+    """d_coords for the v4 planes warp. ``g``: cotangent (B*C, FD, FH, FW)
+    float32 planes. Returns (d_cd, d_ch, d_cw), each (B, FD, FH, FW) f32."""
+    bc = planes.shape[0]
+    b = bc // c
+    sd, sh, sw = planes.shape[1:]
+    fd, fh, fw = cd.shape[1:]
+
+    fhp = _round_up(fh, HB)
+    fwp = _round_up(fw, 128)
+    pads = ((0, 0), (0, 0), (0, fhp - fh), (0, fwp - fw))
+    cd = jnp.pad(cd, pads, mode="edge")
+    ch = jnp.pad(ch, pads, mode="edge")
+    cw = jnp.pad(cw, pads, mode="edge")
+    g = jnp.pad(g.astype(jnp.float32), pads)  # zero pads: no phantom cotangent
+
+    sdp = sd + 3
+    shp = _round_up(sh + 3, 8)
+    swp = _round_up(sw + 3, 128)
+    io_dt = planes.dtype if planes.dtype == jnp.bfloat16 else jnp.float32
+    kd_n = min(KD, sdp)
+    rows_total = HMARGIN + shp + HB + 8
+
+    cmax = _chunk_channels(c, kd_n, rows_total, swp, np.dtype(io_dt).itemsize)
+    if cmax < c:
+        grouped = planes.reshape(b, c, sd, sh, sw)
+        gg = g.reshape(b, c, fd, fhp, fwp)[..., :fh, :fw]
+        dd = jnp.zeros((b, fd, fh, fw), jnp.float32)
+        dh = jnp.zeros((b, fd, fh, fw), jnp.float32)
+        dw = jnp.zeros((b, fd, fh, fw), jnp.float32)
+        cdu, chu, cwu = (x[..., :fh, :fw] for x in (cd, ch, cw))
+        for c0 in range(0, c, cmax):
+            cn = min(cmax, c - c0)
+            chunk = grouped[:, c0:c0 + cn].reshape(b * cn, sd, sh, sw)
+            gchunk = gg[:, c0:c0 + cn].reshape(b * cn, fd, fh, fw)
+            pd, ph, pw = warp3d_planes_v4_dflow(
+                chunk, cdu, chu, cwu, gchunk, cn, interpret
+            )
+            dd, dh, dw = dd + pd, dh + ph, dw + pw
+        return dd, dh, dw
+
+    planes = jnp.pad(
+        planes.astype(io_dt), ((0, 0), (1, 2), (1, shp - sh - 1), (1, swp - sw - 1))
+    )
+
+    kernel = functools.partial(
+        _warp_v4_dflow_kernel, c, sd, sh, sw, sdp, shp, swp, fwp, kd_n,
+        fhp // HB, fh, fw
+    )
+    coord_spec = pl.BlockSpec(
+        (1, 1, fhp, fwp), lambda b, d: (b, d, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec(
+        (1, 1, fhp, fwp), lambda b, d: (b, d, 0, 0), memory_space=pltpu.VMEM
+    )
+    shape = jax.ShapeDtypeStruct((b, fd, fhp, fwp), jnp.float32)
+    dcd, dch, dcw = pl.pallas_call(
+        kernel,
+        grid=(b, fd),
+        in_specs=[
+            coord_spec, coord_spec, coord_spec,
+            pl.BlockSpec(
+                (c, 1, fhp, fwp), lambda b, d: (b, d, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=(shape, shape, shape),
+        scratch_shapes=[
+            pltpu.VMEM((c, kd_n, rows_total, swp), io_dt),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(cd, ch, cw, g, planes)
+    return (dcd[:, :, :fh, :fw], dch[:, :, :fh, :fw], dcw[:, :, :fh, :fw])
+
+
+def warp_v4_window_violations(cd, sd: int):
+    """Fraction of (b, d') PLANES whose d-cell spread exceeds the v4 window
+    budget (those cells would clamp). Only the d axis has a budget: the v4
+    window holds every padded H row and full W rows."""
+    b, fd, fh, fw = cd.shape
+    celld = jnp.floor(cd).reshape(b, fd, fh * fw)
+    d_spread = jnp.max(celld, -1) - jnp.min(celld, -1)
+    return jnp.mean((d_spread > KD - 2).astype(jnp.float32))

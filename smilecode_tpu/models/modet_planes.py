@@ -16,10 +16,11 @@ both Pallas kernels already use internally:
     matmul on the lane (W) axis (align_corners positions are not polyphase,
     so the lane axis needs a true interpolation contraction — the MXU eats
     it);
-  * warps: `kernels.warp3d_v3.warp3d_planes_v3` (channel-batched
-    relative-shift kernel) with absolute coords built as plane arithmetic,
-    guarded by the v3 cell-spread budget with an exact naive-gather
-    fallback branch.
+  * warps: the channel-batched relative-shift kernels with absolute coords
+    built as plane arithmetic — `kernels.warp3d_v4` (whole-plane programs)
+    at half-res and above, `kernels.warp3d_v3` (8-row-tile programs) below
+    and as the middle guard branch — with an exact naive-gather fallback
+    for flows beyond every kernel budget.
 
 Numerics match `models.modet.ModeT` (same params, same graph, same op
 semantics); equality is tested in tests/test_modet_planes.py. The path is
@@ -48,6 +49,11 @@ from smilecode_tpu.kernels.warp3d_v3 import (
     KD as KD3,
     KHA as KHA3,
     HB,
+)
+from smilecode_tpu.kernels.warp3d_v4 import (
+    warp3d_planes_v4,
+    warp3d_planes_v4_dflow,
+    KD as KD4,
 )
 
 
@@ -196,8 +202,13 @@ def _planes_coords(flow, d, h, w):
     return base_d + fl[:, 0], base_h + fl[:, 1], base_w + fl[:, 2]
 
 
-# tests set this to run the v3 kernels in Pallas interpret mode on CPU
+# tests set this to run the v3/v4 kernels in Pallas interpret mode on CPU
 _V3_INTERPRET = False
+
+# volumes at/above this size route through the v4 whole-plane kernel first
+# (fewer, bigger window DMAs); smaller levels stay on v3 alone — their warps
+# are sub-ms and the extra switch branch would only buy compile time
+_V4_MIN_VOXELS = 80 * 96 * 80
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -209,19 +220,28 @@ def _warp_planes_hw(src, flow, guarded: bool):
     the packed path's 16x-padded row gathers (on-chip at 160x192x160,
     smooth flows: v3 35/56 ms at C=1/8 vs v2 31/~500, packed 96/229).
 
-    When guarded, flows whose per-tile cell spread exceeds the v3 window
-    budget fall back to the naive-gather oracle (exact, memory-light; the
-    packed path inside a cond branch would reserve its multi-GB pack
-    temps)."""
+    At half-res and above (`_V4_MIN_VOXELS`) the v4 whole-plane kernel runs
+    first — one window DMA per (batch, d') plane, h displacement unbounded —
+    with v3 as the middle fallback for flows whose PER-PLANE d-cell spread
+    exceeds v4's budget (v3's per-8-row-tile budgets are effectively
+    looser for large smooth flows).
+
+    When guarded, flows exceeding every kernel budget fall back to the
+    naive-gather oracle (exact, memory-light; the packed path inside a cond
+    branch would reserve its multi-GB pack temps)."""
     b, c, d, h, w = src.shape
     cd, ch, cw = _planes_coords(flow, d, h, w)
     planes = src.reshape(b * c, d, h, w)
+    big = d * h * w >= _V4_MIN_VOXELS
 
     def v3(pl_, cd_, ch_, cw_):
         return warp3d_planes_v3(pl_, cd_, ch_, cw_, c, _V3_INTERPRET)
 
+    def v4(pl_, cd_, ch_, cw_):
+        return warp3d_planes_v4(pl_, cd_, ch_, cw_, c, _V3_INTERPRET)
+
     if not guarded:
-        out = v3(planes, cd, ch, cw)
+        out = (v4 if big else v3)(planes, cd, ch, cw)
         return out.reshape(b, c, d, h, w).astype(src.dtype)
 
     def fallback(pl_, cd_, ch_, cw_):
@@ -232,8 +252,13 @@ def _warp_planes_hw(src, flow, guarded: bool):
         out = warp_coords(src5, coords, (d, h, w))
         return to_planes(out).reshape(b * c, d, h, w).astype(jnp.float32)
 
-    viol = _violations_from_coords(cd, ch, d, h, w)
-    out = jax.lax.cond(viol > 0, fallback, v3, planes, cd, ch, cw)
+    viol3 = _violations_from_coords(cd, ch, d, h, w)
+    if big:
+        viol4 = _v4_violations_from_coords(cd, d)
+        idx = jnp.where(viol4 == 0, 0, jnp.where(viol3 == 0, 1, 2))
+        out = jax.lax.switch(idx, [v4, v3, fallback], planes, cd, ch, cw)
+    else:
+        out = jax.lax.cond(viol3 > 0, fallback, v3, planes, cd, ch, cw)
     return out.reshape(b, c, d, h, w).astype(src.dtype)
 
 
@@ -255,11 +280,10 @@ def _warp_hw_bwd(guarded, res, g):
     cd, ch, cw = _planes_coords(flow, d, h, w)
     planes = src.reshape(b * c, d, h, w)
     gp = g.astype(jnp.float32).reshape(b * c, d, h, w)
+    big = d * h * w >= _V4_MIN_VOXELS
 
-    def kernel_bwd(src_, flow_, g_):
-        dcd, dch, dcw = warp3d_planes_v3_dflow(
-            planes, cd, ch, cw, gp, c, _V3_INTERPRET
-        )
+    def _kernel_bwd(dflow_fn, src_, flow_, g_):
+        dcd, dch, dcw = dflow_fn(planes, cd, ch, cw, gp, c, _V3_INTERPRET)
         d_flow = jnp.stack([dcd, dch, dcw], axis=1)
         # d_src = transpose of the gather; only the src-cotangent is used
         # so jax materializes just the scatter half of the oracle VJP
@@ -267,16 +291,25 @@ def _warp_hw_bwd(guarded, res, g):
         (d_src,) = vjp(g_)
         return d_src, d_flow.astype(flow_.dtype)
 
+    kernel_bwd_v3 = functools.partial(_kernel_bwd, warp3d_planes_v3_dflow)
+    kernel_bwd_v4 = functools.partial(_kernel_bwd, warp3d_planes_v4_dflow)
+
     def oracle_bwd(src_, flow_, g_):
         _, vjp = jax.vjp(_warp_planes_ref, src_, flow_)
         d_src, d_flow = vjp(g_)
         return d_src, d_flow
 
     if not guarded:
-        return kernel_bwd(src, flow, g)
+        return (kernel_bwd_v4 if big else kernel_bwd_v3)(src, flow, g)
 
-    viol = _violations_from_coords(cd, ch, d, h, w)
-    return jax.lax.cond(viol > 0, oracle_bwd, kernel_bwd, src, flow, g)
+    viol3 = _violations_from_coords(cd, ch, d, h, w)
+    if big:
+        viol4 = _v4_violations_from_coords(cd, d)
+        idx = jnp.where(viol4 == 0, 0, jnp.where(viol3 == 0, 1, 2))
+        return jax.lax.switch(
+            idx, [kernel_bwd_v4, kernel_bwd_v3, oracle_bwd], src, flow, g
+        )
+    return jax.lax.cond(viol3 > 0, oracle_bwd, kernel_bwd_v3, src, flow, g)
 
 
 _warp_planes_hw.defvjp(_warp_hw_fwd, _warp_hw_bwd)
@@ -308,6 +341,16 @@ def _violations_from_coords(cd, ch, sd, sh, sw):
     h_spread = jnp.max(cellh, -1) - jnp.min(cellh, -1)
     bad = (d_spread > KD3 - 2) | (h_spread > KHA3 - 10)
     return jnp.sum(bad.astype(jnp.int32))
+
+
+def _v4_violations_from_coords(cd, sd):
+    """Count of (b, d') planes whose d-cell spread exceeds the v4 window
+    budget (mirrors `kernels.warp3d_v4.warp_v4_window_violations`; v4 has no
+    h/w budget — the whole padded H extent rides in its window)."""
+    b, fd, fh, fw = cd.shape
+    celld = jnp.floor(cd).reshape(b, fd, fh * fw)
+    d_spread = jnp.max(celld, -1) - jnp.min(celld, -1)
+    return jnp.sum((d_spread > KD4 - 2).astype(jnp.int32))
 
 
 def cwm_planes(p, x, heads: int):

@@ -24,6 +24,71 @@ RNG = np.random.default_rng(7)
 SHAPE = (32, 32, 32)
 
 
+@pytest.fixture
+def hw_warp_interpret(monkeypatch):
+    """Route _warp_planes_hw's kernels through Pallas interpret mode and
+    force the big-volume (v4-first) switch at test sizes."""
+    import smilecode_tpu.models.modet_planes as MP
+
+    monkeypatch.setattr(MP, "_V3_INTERPRET", True)
+    monkeypatch.setattr(MP, "_V4_MIN_VOXELS", 1)
+    return MP
+
+
+def _hw_case_flows(shape):
+    """(name, flow) cases hitting each switch branch: smooth -> v4,
+    plane-wide d ramp -> v3, alternating wild d -> oracle."""
+    d, h, w = shape
+    g = np.stack(
+        np.meshgrid(*[np.linspace(0, 2 * np.pi, s) for s in shape], indexing="ij"), -1
+    )
+    smooth = 1.5 * np.stack(
+        [np.sin(g[..., 0] + i) * np.cos(g[..., 1] - i) for i in range(3)], -1
+    )
+    ramp = np.zeros((*shape, 3), np.float32)
+    ramp[..., 0] = np.linspace(-5, 5, h)[None, :, None]  # plane d-spread 10 > v4 budget
+    wild = np.zeros((*shape, 3), np.float32)
+    wild[::2, ..., 0] = 8.0
+    wild[1::2, ..., 0] = -8.0  # per-tile d-spread 16 > every kernel budget
+    return [
+        ("v4", smooth.astype(np.float32)),
+        ("v3", ramp),
+        ("oracle", wild),
+    ]
+
+
+def test_hw_warp_switch_branches_match_oracle(hw_warp_interpret):
+    MP = hw_warp_interpret
+    shape, c = (16, 24, 16), 2
+    src = jnp.asarray(RNG.standard_normal((1, c, *shape)).astype(np.float32))
+    for name, fl in _hw_case_flows(shape):
+        flow = jnp.asarray(fl[None]).transpose(0, 4, 1, 2, 3)
+        ref = MP._warp_planes_ref(src, flow)
+        out = MP._warp_planes_hw(src, flow, True)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-5, err_msg=name
+        )
+
+
+def test_hw_warp_switch_vjp_matches_oracle(hw_warp_interpret):
+    MP = hw_warp_interpret
+    shape, c = (12, 16, 16), 2
+    src = jnp.asarray(RNG.standard_normal((1, c, *shape)).astype(np.float32))
+    for name, fl in _hw_case_flows(shape):
+        flow = jnp.asarray(fl[None]).transpose(0, 4, 1, 2, 3)
+
+        def loss_hw(s, f):
+            return jnp.sum(MP._warp_planes_hw(s, f, True) ** 2)
+
+        def loss_ref(s, f):
+            return jnp.sum(MP._warp_planes_ref(s, f) ** 2)
+
+        gs, gf = jax.grad(loss_hw, argnums=(0, 1))(src, flow)
+        rs, rf = jax.grad(loss_ref, argnums=(0, 1))(src, flow)
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(rs), atol=1e-3, err_msg=name)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(rf), atol=1e-3, err_msg=name)
+
+
 def test_upsample2_planes_matches_ndhwc():
     from smilecode_tpu.ops.resize import upsample2_trilinear
 
