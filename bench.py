@@ -250,7 +250,27 @@ def measure_train(k: int) -> float:
     return (float(np.median(times)) - oh) / k
 
 
+def _run_child(args, timeout):
+    """subprocess.run that treats a timeout like any failed attempt instead
+    of raising (an unhandled TimeoutExpired would kill the whole ladder)."""
+    try:
+        return subprocess.run(args, capture_output=True, text=True, timeout=timeout)
+    except subprocess.TimeoutExpired as e:
+        class _Fail:
+            returncode = -9
+            stdout = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
+            stderr = ((e.stderr or b"").decode() if isinstance(e.stderr, bytes) else (e.stderr or "")) + "\n[attempt timed out]"
+        return _Fail()
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--preflight":
+        # trivial device op: proves the TPU tunnel is alive before the
+        # ladder commits to hour-scale compile timeouts
+        import jax.numpy as jnp
+
+        print("PREFLIGHT_OK %.1f" % float(jnp.ones((8, 128)).sum()), flush=True)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--measure":
         # child mode: one attempt, print a single float on success
         k = int(sys.argv[2])
@@ -265,11 +285,29 @@ def main():
     if os.environ.get("SMILECODE_BENCH_K"):
         attempts = ((int(os.environ["SMILECODE_BENCH_K"]), "packed"),)
 
+    # fast liveness gate: a dead/hung TPU tunnel (observed 2026-08-17: even
+    # jax.devices() blocked indefinitely) must fail the bench in minutes
+    # with an explicit record, not eat 8 x 1 h attempt timeouts
+    pre = _run_child(
+        [sys.executable, os.path.abspath(__file__), "--preflight"], timeout=300
+    )
+    if "PREFLIGHT_OK" not in (pre.stdout or ""):
+        sys.stderr.write("bench preflight failed: TPU unreachable; tail:\n%s\n"
+                         % "\n".join((pre.stderr or "").splitlines()[-5:]))
+        print(json.dumps({
+            "metric": "modet_infer_ms_160x192x160",
+            "value": None,
+            "unit": "ms",
+            "vs_baseline": 0.0,
+            "error": "tpu-unreachable-preflight",
+        }))
+        sys.exit(1)
+
     per_pair = None
     for k, warp_impl in attempts:
-        proc = subprocess.run(
+        proc = _run_child(
             [sys.executable, os.path.abspath(__file__), "--measure", str(k), warp_impl],
-            capture_output=True, text=True, timeout=3600,
+            timeout=3600,
         )
         for line in proc.stdout.splitlines():
             if line.startswith("BENCH_RESULT "):
@@ -298,9 +336,9 @@ def main():
     # touching the headline metric. Same subprocess + K-descent OOM ladder.
     train_ms = None
     for k in (2, 1):
-        proc = subprocess.run(
+        proc = _run_child(
             [sys.executable, os.path.abspath(__file__), "--measure-train", str(k)],
-            capture_output=True, text=True, timeout=3600,
+            timeout=3600,
         )
         for line in proc.stdout.splitlines():
             if line.startswith("BENCH_RESULT "):
