@@ -22,7 +22,11 @@ Consequences:
     W. Only the d-axis keeps a budget: the per-PLANE d-cell spread must fit
     KD-2 (`warp_v4_window_violations`);
   * the per-(rd, t) sublane roll is hoisted out of the s loop (v3 redid the
-    16-row slice + sublane roll for every lane shift).
+    16-row slice + sublane roll for every lane shift);
+  * the per-plane dmin and the per-block candidate-loop ranges (rd/t/s
+    min/max) are precomputed in XLA and passed through SMEM — the kernel
+    does ZERO cross-lane reductions (v3 and early v4 paid 8 per block) and
+    the window DMA issues on the first instruction.
 
 VMEM: the window is (C, KD, Hp+24, Wp) in the io dtype; channel counts that
 would overflow the budget are split into chunks by the wrapper (ModeT's
@@ -57,16 +61,52 @@ def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
+def _v4_ranges(cd, ch, cw, sd: int, sh: int, sw: int, kd_n: int, fhp: int):
+    """XLA-side per-plane dmin + per-(plane, block) candidate-loop ranges,
+    matching the in-kernel cell definitions exactly. Returns int32 arrays
+    (B, FD) and 6 x (B, FD, NHB) destined for SMEM. cd/ch/cw UNPADDED."""
+    b, fd, fh, fw = cd.shape
+    celld = jnp.clip(jnp.floor(cd), -1.0, float(sd)).astype(jnp.int32) + 1
+    cellh = jnp.clip(jnp.floor(ch), -1.0, float(sh)).astype(jnp.int32) + 1
+    cellw = jnp.clip(jnp.floor(cw), -1.0, float(sw)).astype(jnp.int32) + 1
+    dmin = jnp.clip(
+        jnp.min(celld.reshape(b, fd, fh * fw), -1), 0, (sd + 3) - kd_n
+    )
+    rd = jnp.clip(celld - dmin[:, :, None, None], 0, kd_n - 2)
+    relh = cellh - jax.lax.broadcasted_iota(jnp.int32, (1, 1, fh, fw), 2)
+    rels = cellw - jax.lax.broadcasted_iota(jnp.int32, (1, 1, fh, fw), 3)
+
+    imax, imin = np.iinfo(np.int32).max, np.iinfo(np.int32).min
+
+    def blockmm(x, mode):
+        sent = imax if mode == "min" else imin
+        xp = jnp.pad(
+            jnp.broadcast_to(x, (b, fd, fh, fw)),
+            ((0, 0), (0, 0), (0, fhp - fh), (0, 0)), constant_values=sent,
+        ).reshape(b, fd, fhp // HB, HB * fw)
+        return jnp.min(xp, -1) if mode == "min" else jnp.max(xp, -1)
+
+    return (
+        dmin.astype(jnp.int32),
+        blockmm(rd, "min"), blockmm(rd, "max"),
+        blockmm(relh, "min"), blockmm(relh, "max"),
+        blockmm(rels, "min"), blockmm(rels, "max"),
+    )
+
+
 def _warp_v4_kernel(c: int, sd: int, sh: int, sw: int,
                     sdp: int, shp: int, swp: int, fwp: int,
                     kd_n: int, nhb: int, fh: int, fw: int,
+                    dmin_ref, rdmin_ref, rdmax_ref, tmin_ref, tmax_ref,
+                    smin_ref, smax_ref,
                     cd_ref, ch_ref, cw_ref, src_hbm, o_ref, win, sem):
     b = pl.program_id(0)
+    dpl = pl.program_id(1)
 
-    # plane-wide d window: dmin from the full coords block
-    fd0_all = jnp.floor(cd_ref[0, 0])
-    celld_all = jnp.clip(fd0_all, -1.0, float(sd)).astype(jnp.int32) + 1
-    dmin = jnp.clip(jnp.min(celld_all), 0, sdp - kd_n)
+    # plane-wide d window start comes precomputed through SMEM, so the
+    # window DMA issues immediately (no coords read/reduce on the critical
+    # path)
+    dmin = dmin_ref[b, dpl]
 
     # ONE DMA for all channels x all rows; rows land at sublane HMARGIN
     cp = pltpu.make_async_copy(
@@ -115,10 +155,6 @@ def _warp_v4_kernel(c: int, sd: int, sh: int, sw: int,
         relh = cellh - (r0 + hloc)
         rels = cellw - wloc
 
-        # loop ranges from REAL output positions only (edge-padded coord
-        # lanes/rows repeat a real coordinate while wloc/hloc keep growing)
-        real = (wloc < fw) & (r0 + hloc < fh)
-
         # OOB corners get zero weight, computed from UNCLIPPED floors
         wd0 = (1.0 - td) * ((fd0 >= 0) & (fd0 <= sd - 1))
         wd1 = td * ((fd0 + 1 >= 0) & (fd0 + 1 <= sd - 1))
@@ -127,11 +163,13 @@ def _warp_v4_kernel(c: int, sd: int, sh: int, sw: int,
         tw0 = (1.0 - tw) * ((fw0 >= 0) & (fw0 <= sw - 1))
         tw1 = tw * ((fw0 + 1 >= 0) & (fw0 + 1 <= sw - 1))
 
-        rdmin, rdmax = jnp.min(rd), jnp.max(rd)
-        tmin = jnp.min(jnp.where(real, relh, shp))
-        tmax = jnp.max(jnp.where(real, relh, -shp))
-        smin = jnp.min(jnp.where(real, rels, sw + 2))
-        smax = jnp.max(jnp.where(real, rels, -fwp))
+        # loop ranges precomputed in XLA over REAL output positions only
+        rdmin = rdmin_ref[b, dpl, blk]
+        rdmax = rdmax_ref[b, dpl, blk]
+        tmin = tmin_ref[b, dpl, blk]
+        tmax = tmax_ref[b, dpl, blk]
+        smin = smin_ref[b, dpl, blk]
+        smax = smax_ref[b, dpl, blk]
 
         def rd_body(rd_c, accs):
             wgt_d = jnp.where(rd == rd_c, wd0, 0.0) + jnp.where(rd + 1 == rd_c, wd1, 0.0)
@@ -198,11 +236,6 @@ def warp3d_planes_v4(planes, cd, ch, cw, c: int, interpret: bool = False):
 
     fhp = _round_up(fh, HB)
     fwp = _round_up(fw, 128)
-    pads = ((0, 0), (0, 0), (0, fhp - fh), (0, fwp - fw))
-    # edge padding: pad lanes must not distort the tile min/max cell indices
-    cd = jnp.pad(cd, pads, mode="edge")
-    ch = jnp.pad(ch, pads, mode="edge")
-    cw = jnp.pad(cw, pads, mode="edge")
 
     sdp = sd + 3
     shp = _round_up(sh + 3, 8)
@@ -221,11 +254,18 @@ def warp3d_planes_v4(planes, cd, ch, cw, c: int, interpret: bool = False):
             cn = min(cmax, c - c0)
             chunk = grouped[:, c0:c0 + cn].reshape(b * cn, sd, sh, sw)
             outs.append(
-                warp3d_planes_v4(chunk, cd[..., :fh, :fw], ch[..., :fh, :fw],
-                                 cw[..., :fh, :fw], cn, interpret)
+                warp3d_planes_v4(chunk, cd, ch, cw, cn, interpret)
                 .reshape(b, cn, fd, fh, fw)
             )
         return jnp.concatenate(outs, axis=1).reshape(b * c, fd, fh, fw)
+
+    ranges = _v4_ranges(cd, ch, cw, sd, sh, sw, kd_n, fhp)
+
+    pads = ((0, 0), (0, 0), (0, fhp - fh), (0, fwp - fw))
+    # edge padding: pad lanes must not distort the per-element cell indices
+    cd = jnp.pad(cd, pads, mode="edge")
+    ch = jnp.pad(ch, pads, mode="edge")
+    cw = jnp.pad(cw, pads, mode="edge")
 
     planes = jnp.pad(
         planes.astype(io_dt), ((0, 0), (1, 2), (1, shp - sh - 1), (1, swp - sw - 1))
@@ -237,10 +277,11 @@ def warp3d_planes_v4(planes, cd, ch, cw, c: int, interpret: bool = False):
     coord_spec = pl.BlockSpec(
         (1, 1, fhp, fwp), lambda b, d: (b, d, 0, 0), memory_space=pltpu.VMEM
     )
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out = pl.pallas_call(
         kernel,
         grid=(b, fd),
-        in_specs=[
+        in_specs=[smem_spec] * 7 + [
             coord_spec, coord_spec, coord_spec,
             pl.BlockSpec(memory_space=pl.ANY),  # src planes in HBM
         ],
@@ -253,23 +294,25 @@ def warp3d_planes_v4(planes, cd, ch, cw, c: int, interpret: bool = False):
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(cd, ch, cw, planes)
+    )(*ranges, cd, ch, cw, planes)
     return out[:, :, :fh, :fw]
 
 
 def _warp_v4_dflow_kernel(c: int, sd: int, sh: int, sw: int,
                           sdp: int, shp: int, swp: int, fwp: int,
                           kd_n: int, nhb: int, fh: int, fw: int,
+                          dmin_ref, rdmin_ref, rdmax_ref, tmin_ref, tmax_ref,
+                          smin_ref, smax_ref,
                           cd_ref, ch_ref, cw_ref, g_ref, src_hbm,
                           od_ref, oh_ref, ow_ref, win, sem):
     """d_coords of the v4 warp: the forward's loops with the trilinear value
     weights replaced by their per-axis derivative coefficients (see
-    `warp3d_v3._warp_v3_dflow_kernel`); whole-plane program structure."""
+    `warp3d_v3._warp_v3_dflow_kernel`); whole-plane program structure,
+    SMEM-precomputed dmin/loop ranges like the forward."""
     b = pl.program_id(0)
+    dpl = pl.program_id(1)
 
-    fd0_all = jnp.floor(cd_ref[0, 0])
-    celld_all = jnp.clip(fd0_all, -1.0, float(sd)).astype(jnp.int32) + 1
-    dmin = jnp.clip(jnp.min(celld_all), 0, sdp - kd_n)
+    dmin = dmin_ref[b, dpl]
 
     cp = pltpu.make_async_copy(
         src_hbm.at[pl.ds(b * c, c), pl.ds(dmin, kd_n), :, :],
@@ -311,8 +354,6 @@ def _warp_v4_dflow_kernel(c: int, sd: int, sh: int, sw: int,
         relh = cellh - (r0 + hloc)
         rels = cellw - wloc
 
-        real = (wloc < fw) & (r0 + hloc < fh)
-
         ind_d0 = ((fd0 >= 0) & (fd0 <= sd - 1)).astype(jnp.float32)
         ind_d1 = ((fd0 + 1 >= 0) & (fd0 + 1 <= sd - 1)).astype(jnp.float32)
         ind_h0 = ((fh0 >= 0) & (fh0 <= sh - 1)).astype(jnp.float32)
@@ -326,11 +367,12 @@ def _warp_v4_dflow_kernel(c: int, sd: int, sh: int, sw: int,
         tw0 = (1.0 - tw) * ind_w0
         tw1 = tw * ind_w1
 
-        rdmin, rdmax = jnp.min(rd), jnp.max(rd)
-        tmin = jnp.min(jnp.where(real, relh, shp))
-        tmax = jnp.max(jnp.where(real, relh, -shp))
-        smin = jnp.min(jnp.where(real, rels, sw + 2))
-        smax = jnp.max(jnp.where(real, rels, -fwp))
+        rdmin = rdmin_ref[b, dpl, blk]
+        rdmax = rdmax_ref[b, dpl, blk]
+        tmin = tmin_ref[b, dpl, blk]
+        tmax = tmax_ref[b, dpl, blk]
+        smin = smin_ref[b, dpl, blk]
+        smax = smax_ref[b, dpl, blk]
 
         def rd_body(rd_c, accs):
             m_d0 = (rd == rd_c).astype(jnp.float32)
@@ -394,11 +436,6 @@ def warp3d_planes_v4_dflow(planes, cd, ch, cw, g, c: int, interpret: bool = Fals
 
     fhp = _round_up(fh, HB)
     fwp = _round_up(fw, 128)
-    pads = ((0, 0), (0, 0), (0, fhp - fh), (0, fwp - fw))
-    cd = jnp.pad(cd, pads, mode="edge")
-    ch = jnp.pad(ch, pads, mode="edge")
-    cw = jnp.pad(cw, pads, mode="edge")
-    g = jnp.pad(g.astype(jnp.float32), pads)  # zero pads: no phantom cotangent
 
     sdp = sd + 3
     shp = _round_up(sh + 3, 8)
@@ -410,20 +447,27 @@ def warp3d_planes_v4_dflow(planes, cd, ch, cw, g, c: int, interpret: bool = Fals
     cmax = _chunk_channels(c, kd_n, rows_total, swp, np.dtype(io_dt).itemsize)
     if cmax < c:
         grouped = planes.reshape(b, c, sd, sh, sw)
-        gg = g.reshape(b, c, fd, fhp, fwp)[..., :fh, :fw]
+        gg = g.reshape(b, c, fd, fh, fw)
         dd = jnp.zeros((b, fd, fh, fw), jnp.float32)
         dh = jnp.zeros((b, fd, fh, fw), jnp.float32)
         dw = jnp.zeros((b, fd, fh, fw), jnp.float32)
-        cdu, chu, cwu = (x[..., :fh, :fw] for x in (cd, ch, cw))
         for c0 in range(0, c, cmax):
             cn = min(cmax, c - c0)
             chunk = grouped[:, c0:c0 + cn].reshape(b * cn, sd, sh, sw)
             gchunk = gg[:, c0:c0 + cn].reshape(b * cn, fd, fh, fw)
             pd, ph, pw = warp3d_planes_v4_dflow(
-                chunk, cdu, chu, cwu, gchunk, cn, interpret
+                chunk, cd, ch, cw, gchunk, cn, interpret
             )
             dd, dh, dw = dd + pd, dh + ph, dw + pw
         return dd, dh, dw
+
+    ranges = _v4_ranges(cd, ch, cw, sd, sh, sw, kd_n, fhp)
+
+    pads = ((0, 0), (0, 0), (0, fhp - fh), (0, fwp - fw))
+    cd = jnp.pad(cd, pads, mode="edge")
+    ch = jnp.pad(ch, pads, mode="edge")
+    cw = jnp.pad(cw, pads, mode="edge")
+    g = jnp.pad(g.astype(jnp.float32), pads)  # zero pads: no phantom cotangent
 
     planes = jnp.pad(
         planes.astype(io_dt), ((0, 0), (1, 2), (1, shp - sh - 1), (1, swp - sw - 1))
@@ -440,10 +484,11 @@ def warp3d_planes_v4_dflow(planes, cd, ch, cw, g, c: int, interpret: bool = Fals
         (1, 1, fhp, fwp), lambda b, d: (b, d, 0, 0), memory_space=pltpu.VMEM
     )
     shape = jax.ShapeDtypeStruct((b, fd, fhp, fwp), jnp.float32)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     dcd, dch, dcw = pl.pallas_call(
         kernel,
         grid=(b, fd),
-        in_specs=[
+        in_specs=[smem_spec] * 7 + [
             coord_spec, coord_spec, coord_spec,
             pl.BlockSpec(
                 (c, 1, fhp, fwp), lambda b, d: (b, d, 0, 0),
@@ -458,7 +503,7 @@ def warp3d_planes_v4_dflow(planes, cd, ch, cw, g, c: int, interpret: bool = Fals
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(cd, ch, cw, g, planes)
+    )(*ranges, cd, ch, cw, g, planes)
     return (dcd[:, :, :fh, :fw], dch[:, :, :fh, :fw], dcw[:, :, :fh, :fw])
 
 
