@@ -107,12 +107,17 @@ def _attn_kernel(hd: int, heads: int, wp: int, hb: int,
 
 
 def modet_attention_planes(qs, kplanes, rpb, heads: int, scale: float = 1.0,
-                           interpret: bool = False):
+                           interpret: bool = False, k_prepadded_d: bool = False):
     """Planes-layout entry (no pre/post relayout): qs/kplanes are
     (B*heads, D, head_dim, H, W) with W minor; output is
     (B*heads, 3, D, H, W). Used by the planes-layout ModeT forward
     (`models/modet_planes.py`) where the whole decoder stays W-minor.
     Forward-only (no custom VJP) — training uses the NDHWC entry below.
+
+    ``k_prepadded_d``: kplanes already carries its 1-voxel D border (shape
+    D+2 along axis 1) — used by the D-sharded planes path, where the border
+    comes from a neighbor-shard halo exchange instead of zero padding
+    (`parallel/modet_planes_sp.py`).
     """
     bh, d, hd, h, w = qs.shape
     dt = jnp.float32
@@ -126,9 +131,10 @@ def modet_attention_planes(qs, kplanes, rpb, heads: int, scale: float = 1.0,
 
     qs = (qs * qs.dtype.type(scale)).astype(io_dt)
     qs = jnp.pad(qs, ((0, 0),) * 3 + ((0, hp - h), (0, wp - w)))
+    d_pad = (0, 0) if k_prepadded_d else (1, 1)
     kp = jnp.pad(
         kplanes.astype(io_dt),
-        ((0, 0), (1, 1), (0, 0), (1, hp + 7 - h), (1, wpk - w - 1)),
+        ((0, 0), d_pad, (0, 0), (1, hp + 7 - h), (1, wpk - w - 1)),
     )
 
     if rpb is None:
