@@ -46,6 +46,10 @@ class TrainConfig:
     atlas_path: str = ""
     # parallelism: number of data-parallel devices (1 = single chip)
     dp: int = 1
+    # spatial (halo-exchange) parallelism: number of D-axis shards. > 1
+    # trains the D-sharded PLANES graph (`parallel/modet_planes_sp.py`,
+    # modet only); composes with dp over a (data, spatial) mesh
+    spatial: int = 1
     # RCN: number of cascaded VTNs (`Baseline methods/RCN/train.py` trains 10)
     n_cascade: int = 10
     # RDN: outer stage recursion count and per-stage level recursion depths

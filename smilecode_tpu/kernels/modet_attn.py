@@ -254,11 +254,17 @@ def _bwd1_kernel(hd: int, heads: int, wp: int, hb: int, h: int, w: int, scale: f
 
 
 def _bwd2_kernel(hd: int, wp: int, hb: int, hp: int, dtot: int, rows_n: int,
-                 slabs_n: int, scale: float,
+                 slabs_n: int, scale: float, dshift: int,
                  dl_hbm, q_hbm, dk_ref, dls, qs_, sem1, sem2):
     """Per (bh, d, hblk): dk[x] = scale * sum_t dl[x - off_t, t] * q[x - off_t]
     — the inverse-window recurrence of the reference's dk kernel
     (`modet_kernel.cu:209-267`, `include/utils.h:29-38`).
+
+    ``dshift``: 1 when dk indexes the UNPADDED k (default; contributions to
+    the zero D-border are dropped, matching zero-pad semantics); 0 when dk
+    indexes the PREPADDED k (D+2 slabs, grid axis 1 runs over D+2) — the
+    border slabs' cotangents are emitted so the D-sharded path can ship them
+    back to neighbor shards (transpose of the halo exchange).
 
     dl and q are read UNPADDED (no +1-voxel padded HBM copies — those copies
     were the training backward's peak-memory driver: ~1.7 GB at full res).
@@ -279,7 +285,7 @@ def _bwd2_kernel(hd: int, wp: int, hb: int, hp: int, dtot: int, rows_n: int,
     f32 = jnp.float32
 
     r0 = hblk * hb
-    sd0 = jnp.clip(d - 1, 0, dtot - slabs_n)
+    sd0 = jnp.clip(d + dshift - 2, 0, dtot - slabs_n)
     sh0 = jnp.clip(r0 - 8, 0, hp - rows_n)
     sh0 = pl.multiple_of(sh0, 8)
     base = r0 - sh0  # dynamic, a multiple of 8 in [0, 16]
@@ -324,8 +330,8 @@ def _bwd2_kernel(hd: int, wp: int, hb: int, hp: int, dtot: int, rows_n: int,
 
     dk_acc = [jnp.zeros((hb, wp), f32) for _ in range(hd)]
     for od in range(3):
-        # depth d+1-od; zero factor outside [0, D)
-        src_d = d + 1 - od
+        # depth d+dshift-od; zero factor outside [0, D)
+        src_d = d + dshift - od
         loc_d = jnp.clip(src_d - sd0, 0, slabs_n - 1)
         mfac = jnp.where((src_d >= 0) & (src_d < dtot), 1.0, 0.0).astype(f32)
         for oh in range(3):
@@ -358,9 +364,15 @@ def _backward(q, k, rpb, scale, g, interpret=False):
     return unplanes(dq), unplanes(dk), drpb.astype(rpb.dtype)
 
 
-def _backward_planes(qs, kpl, rpb, heads, scale, gs, interpret=False):
+def _backward_planes(qs, kpl, rpb, heads, scale, gs, interpret=False,
+                     k_prepadded_d=False):
     """Planes-layout fused backward. qs/kpl: (BH, D, hd, H, W) UNSCALED;
-    gs: (BH, 3, D, H, W) output cotangent. Returns planes (dq, dk, drpb)."""
+    gs: (BH, 3, D, H, W) output cotangent. Returns planes (dq, dk, drpb).
+
+    ``k_prepadded_d``: kpl is (BH, D+2, hd, H, W) with its 1-voxel D border
+    (D-sharded path); dk is then returned for the FULL padded extent so the
+    border cotangents can ride the halo-exchange transpose back to the
+    neighbor shards."""
     bh, d, hd, h, w = qs.shape
     b = bh // heads
     dt = jnp.float32
@@ -388,9 +400,10 @@ def _backward_planes(qs, kpl, rpb, heads, scale, gs, interpret=False):
         (qs * qs.dtype.type(scale)).astype(io_dt),
         ((0, 0),) * 3 + ((0, hp - h), (0, wp - w)),
     )
+    kd_pad = (0, 0) if k_prepadded_d else (1, 1)
     kp = jnp.pad(
         kpl.astype(io_dt),
-        ((0, 0), (1, 1), (0, 0), (1, hp + 7 - h), (1, wpk - w - 1)),
+        ((0, 0), kd_pad, (0, 0), (1, hp + 7 - h), (1, wpk - w - 1)),
     )
     gs = jnp.pad(gs.astype(dt), ((0, 0),) * 3 + ((0, hp - h), (0, wp - w)))
 
@@ -448,18 +461,20 @@ def _backward_planes(qs, kpl, rpb, heads, scale, gs, interpret=False):
     # B2 reads dl and q UNPADDED (clamped windows inside the kernel):
     # no +1-voxel padded HBM copies
     slabs_n = min(3, d)
+    dshift = 0 if k_prepadded_d else 1
+    d_out = d + 2 if k_prepadded_d else d
     kern2 = functools.partial(
-        _bwd2_kernel, hd, wp, hb, hp, d, rows_n, slabs_n, scale
+        _bwd2_kernel, hd, wp, hb, hp, d, rows_n, slabs_n, scale, dshift
     )
     dk = pl.pallas_call(
         kern2,
-        grid=(bh, d, nblk),
+        grid=(bh, d_out, nblk),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # dl (BH, D, 27, HP, WP)
             pl.BlockSpec(memory_space=pltpu.ANY),  # q unscaled
         ],
         out_specs=blkspec(hd),
-        out_shape=jax.ShapeDtypeStruct((bh, d, hd, hp, wp), dt),
+        out_shape=jax.ShapeDtypeStruct((bh, d_out, hd, hp, wp), dt),
         scratch_shapes=[
             # rows_n + 24: DMA dest reaches 16 + rows_n, static reads reach
             # 17 + hb (≤ rows_n + 17); both fit with an 8-aligned total
@@ -503,25 +518,31 @@ def _bwd(scale, interpret, res, g):
 modet_attention_pallas.defvjp(_fwd, _bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def modet_attention_planes_diff(qs, kplanes, rpb, heads: int, scale: float = 1.0,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                k_prepadded_d: bool = False):
     """Differentiable planes-layout attention: same contract as
     `modet_attention_planes`, with the fused Pallas backward (B1/B2) wired
     natively in planes — no relayout on either pass. Used by the planes
-    training path."""
-    return modet_attention_planes(qs, kplanes, rpb, heads, scale, interpret)
+    training path. With ``k_prepadded_d`` the k cotangent covers the full
+    D+2 padded extent (see `_backward_planes`)."""
+    return modet_attention_planes(
+        qs, kplanes, rpb, heads, scale, interpret, k_prepadded_d
+    )
 
 
-def _fwd_planes(qs, kplanes, rpb, heads, scale, interpret):
-    out = modet_attention_planes(qs, kplanes, rpb, heads, scale, interpret)
+def _fwd_planes(qs, kplanes, rpb, heads, scale, interpret, k_prepadded_d):
+    out = modet_attention_planes(
+        qs, kplanes, rpb, heads, scale, interpret, k_prepadded_d
+    )
     return out, (qs, kplanes, rpb)
 
 
-def _bwd_planes(heads, scale, interpret, res, g):
+def _bwd_planes(heads, scale, interpret, k_prepadded_d, res, g):
     qs, kplanes, rpb = res
     dq, dk, drpb = _backward_planes(
-        qs, kplanes, rpb, heads, scale, g, interpret
+        qs, kplanes, rpb, heads, scale, g, interpret, k_prepadded_d
     )
     dq = dq.astype(qs.dtype)
     dk = dk.astype(kplanes.dtype)

@@ -132,7 +132,7 @@ def conv_ins_planes(p, x, alpha=0.1):
 @functools.lru_cache(maxsize=None)
 def _interp_matrix(n_in: int, n_out: int) -> np.ndarray:
     """(n_in, n_out) align_corners linear interpolation matrix."""
-    g = np.zeros((n_in, n_out), np.float32)
+    g = np.zeros((n_in, n_out), np.float64)
     if n_in == 1:
         g[0, :] = 1.0
         return g
@@ -158,7 +158,7 @@ def _interp_take(x, n_out: int, axis: int):
     pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / max(n_out - 1, 1)
     i0 = np.clip(np.floor(pos).astype(np.int32), 0, n_in - 1)
     i1 = np.minimum(i0 + 1, n_in - 1)
-    t = (pos - i0).astype(np.float32)
+    t = pos - i0  # f64; cast to the data dtype below
     shape = [1] * x.ndim
     shape[axis] = n_out
     fr = jnp.asarray(t, x.dtype).reshape(shape)
@@ -183,22 +183,21 @@ def _warp_planes_ref(src, flow):
     from smilecode_tpu.ops.warp import warp_coords
 
     b, c, d, h, w = src.shape
-    base_d = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 1)
-    base_h = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 2)
-    base_w = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 3)
-    fl = flow.astype(jnp.float32)
-    coords = jnp.stack(
-        [base_d + fl[:, 0], base_h + fl[:, 1], base_w + fl[:, 2]], axis=-1
-    ).reshape(b, d * h * w, 3)
+    cd, ch, cw = _planes_coords(flow, d, h, w)
+    coords = jnp.stack([cd, ch, cw], axis=-1).reshape(b, d * h * w, 3)
     return to_planes(warp_coords(from_planes(src), coords, (d, h, w)))
 
 
 def _planes_coords(flow, d, h, w):
-    """Absolute sample coords (B, D, H, W) x 3 from a planes flow."""
-    base_d = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 1)
-    base_h = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 2)
-    base_w = jax.lax.broadcasted_iota(jnp.float32, (1, d, h, w), 3)
-    fl = flow.astype(jnp.float32)
+    """Absolute sample coords (B, D, H, W) x 3 from a planes flow.
+
+    Coordinate dtype promotes flow's dtype to at least f32 (bf16 flows get
+    f32 coords; f64 flows keep f64 so x64 verification runs stay exact)."""
+    dt = jnp.promote_types(flow.dtype, jnp.float32)
+    base_d = jax.lax.broadcasted_iota(dt, (1, d, h, w), 1)
+    base_h = jax.lax.broadcasted_iota(dt, (1, d, h, w), 2)
+    base_w = jax.lax.broadcasted_iota(dt, (1, d, h, w), 3)
+    fl = flow.astype(dt)
     return base_d + fl[:, 0], base_h + fl[:, 1], base_w + fl[:, 2]
 
 
@@ -424,7 +423,9 @@ def modet_forward_planes(
         return proj_ln_planes(p[f"projblock{level}"], feat, heads, head_dim, 1.0)
 
     wp = functools.partial(warp_planes, on_tpu=on_tpu, guarded=guarded_warp)
-    f32 = jnp.float32
+    # flow accumulates in (at least) f32 even on the bf16 feature path; f64
+    # inputs keep f64 flows so x64 verification runs stay exact
+    f32 = jnp.promote_types(moving.dtype, jnp.float32)
 
     def qscale(x):
         return x * jnp.asarray(scale, x.dtype)

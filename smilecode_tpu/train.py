@@ -135,6 +135,33 @@ def make_train_step(spec, tx, weights, use_fast: bool = False, mesh=None):
     return step
 
 
+def make_train_step_spatial(cfg, tx, weights, mesh):
+    """Donated-jit train step with the D axis sharded over "spatial" (and
+    the batch over "data" when dp > 1): each shard runs the planes graph
+    with halo/psum collectives, fwd AND bwd (`parallel.modet_planes_sp`).
+    ModeT only — the planes graph is the model this path shards."""
+    from smilecode_tpu.parallel.modet_planes_sp import make_spatial_loss_and_grads
+
+    lg, _ = make_spatial_loss_and_grads(
+        mesh,
+        num_heads=tuple(cfg.num_heads),
+        head_dim=cfg.head_dim,
+        qk_scale=cfg.qk_scale,
+        weights=(weights[0], weights[1]),
+    )
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def step(params, opt_state, x, y):
+        inner = params["params"] if "params" in params else params
+        (loss, loss_vals), grads = lg(inner, x, y)
+        gtree = {"params": grads} if "params" in params else grads
+        updates, opt_state = tx.update(gtree, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, loss_vals
+
+    return step
+
+
 def make_eval_step(spec):
     @jax.jit
     def eval_step(params, x, y, x_seg, y_seg):
@@ -155,7 +182,8 @@ def main(cfg: TrainConfig):
     f = open(os.path.join(log_dir, "losses and dice.txt"), "a")
 
     spec = build_model(cfg.model, cfg)
-    mesh = make_mesh(cfg.dp)
+    n_spatial = getattr(cfg, "spatial", 1)
+    mesh = make_mesh(cfg.dp, n_spatial)
 
     rng = jax.random.PRNGKey(cfg.seed)
     d, h, w = cfg.img_size
@@ -203,17 +231,33 @@ def main(cfg: TrainConfig):
 
     fast = getattr(cfg, "fast_path", "off")
     use_fast = fast == "planes" or (fast == "auto" and jax.default_backend() == "tpu")
-    step_mesh = None
-    if use_fast and cfg.dp > 1:
-        # DP x planes: shard_map over the data axis — each device runs the
-        # full planes graph (Pallas kernels included) on its slice of the
-        # batch; grads are pmean-reduced inside the step
-        step_mesh = mesh
-        print(f"fast_path={fast!r} with dp={cfg.dp}: planes graph per shard "
-              "via shard_map over ('data',)")
-    train_step = make_train_step(
-        spec, tx, list(cfg.weights), use_fast=use_fast, mesh=step_mesh
-    )
+    if n_spatial > 1:
+        # spatial (halo-exchange) parallelism: D-sharded planes training
+        if not cfg.model.startswith("modet"):
+            raise ValueError(
+                f"spatial={n_spatial} shards the ModeT planes graph; "
+                f"model={cfg.model!r} is not supported (use dp instead)"
+            )
+        if cfg.img_size[0] % (16 * n_spatial) != 0:
+            raise ValueError(
+                f"spatial={n_spatial} needs D={cfg.img_size[0]} divisible "
+                f"by 16*{n_spatial}"
+            )
+        print(f"spatial={n_spatial}: D-sharded planes train step over mesh "
+              f"{mesh.shape} (dp={cfg.dp})")
+        train_step = make_train_step_spatial(cfg, tx, list(cfg.weights), mesh)
+    else:
+        step_mesh = None
+        if use_fast and cfg.dp > 1:
+            # DP x planes: shard_map over the data axis — each device runs
+            # the full planes graph (Pallas kernels included) on its slice
+            # of the batch; grads are pmean-reduced inside the step
+            step_mesh = mesh
+            print(f"fast_path={fast!r} with dp={cfg.dp}: planes graph per "
+                  "shard via shard_map over ('data',)")
+        train_step = make_train_step(
+            spec, tx, list(cfg.weights), use_fast=use_fast, mesh=step_mesh
+        )
     eval_step = make_eval_step(spec)
 
     for epoch in range(epoch_start, cfg.max_epoch):

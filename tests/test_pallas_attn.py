@@ -155,3 +155,43 @@ def test_modet_with_pallas_impl_interpret():
     mp, fp = model_p.apply(params, m, f)
     np.testing.assert_allclose(np.asarray(mp), np.asarray(mx), atol=1e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(fp), np.asarray(fx), atol=1e-4, rtol=1e-3)
+
+
+def test_planes_grads_k_prepadded_d():
+    """k_prepadded_d (the D-sharded path): the kernel consumes k with its
+    1-voxel D border supplied by the caller (halo slabs, NONZERO here) and
+    the fused backward must emit cotangents for the FULL D+2 extent so they
+    ride the halo-exchange transpose back to neighbor shards."""
+    from smilecode_tpu.kernels.modet_attn import modet_attention_planes_diff
+
+    d, h, w, heads, hd = 4, 10, 5, 2, 4
+    q = jnp.asarray(RNG.standard_normal((1, d, h, w, heads, hd)).astype(np.float32))
+    kpad = jnp.asarray(
+        RNG.standard_normal((1, d + 2, h, w, heads, hd)).astype(np.float32)
+    )
+    rpb = jnp.asarray((RNG.standard_normal((heads, 3, 3, 3)) * 0.2).astype(np.float32))
+    gcot = jnp.asarray(RNG.standard_normal((1, d, h, w, heads * 3)).astype(np.float32))
+
+    def to_pl(x):
+        b, dd, hh, ww, nh, c = x.shape
+        return x.transpose(0, 4, 1, 5, 2, 3).reshape(b * nh, dd, c, hh, ww)
+
+    gpl = gcot.reshape(1, d, h, w, heads, 3).transpose(0, 4, 5, 1, 2, 3)
+    gpl = gpl.reshape(heads, 3, d, h, w)
+
+    def loss_pallas(q, kp, r):
+        out = modet_attention_planes_diff(
+            to_pl(q), to_pl(kp), r, heads, 1.0, True, True
+        )
+        return jnp.sum(out * gpl)
+
+    def loss_oracle(q, kp, r):
+        out = _neighborhood_attention_xla(q, kp, r, 1.0, k_prepadded_d=True)
+        return jnp.sum(out * gcot)
+
+    g1 = jax.grad(loss_pallas, argnums=(0, 1, 2))(q, kpad, rpb)
+    g2 = jax.grad(loss_oracle, argnums=(0, 1, 2))(q, kpad, rpb)
+    for name, a, b in zip(("dq", "dk_pad", "drpb"), g1, g2):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3, err_msg=name
+        )
