@@ -5,6 +5,8 @@ coordinate oracle, so this validates the planes graph itself; the TPU fast
 path shares this exact code with only the warp/attention backends swapped.
 """
 
+import functools
+
 import numpy as np
 import pytest
 
@@ -107,6 +109,66 @@ def test_conv3_planes_matches_xla_conv():
     ) + bias
     out = from_planes(conv3_planes({"kernel": kern, "bias": bias}, to_planes(x)))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
+def test_bf16_vs_f32_with_kernels(hw_warp_interpret, monkeypatch):
+    """Off-chip pin for bench.py's bf16 parity gate (VERDICT r3 item 2): the
+    bf16-vs-f32 flow endpoint error through the PLANES graph with the v3/v4
+    warp kernels actually engaged (interpret mode, v4-first switch forced),
+    excited params, smooth volumes, guarded_warp=True — the production
+    infer configuration the on-chip gate now measures. The round-3
+    regression (gate p99 0.115 -> 0.329) was invisible off-chip because no
+    CPU test ran bf16 through the kernel wiring; this one does, so bf16
+    kernel numerics can never again change unmeasured."""
+    MP = hw_warp_interpret
+    model = ModeT(qk_scale=1.0)
+
+    g = np.stack(np.meshgrid(*[np.arange(s) for s in SHAPE], indexing="ij"), -1)
+
+    def smooth_vol(seed):
+        r = np.random.default_rng(seed)
+        v = np.zeros(SHAPE, np.float32)
+        for _ in range(30):
+            c, s, a = r.uniform(4, 28, 3), r.uniform(2, 6), r.uniform(0.3, 1.0)
+            v += a * np.exp(-np.sum((g - c) ** 2, -1) / (2 * s * s))
+        return jnp.asarray(((v - v.min()) / (v.max() - v.min()))[None, ..., None])
+
+    moving, fixed = smooth_vol(1), smooth_vol(2)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), moving, fixed)
+
+    def excite(path, x):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "proj/kernel" in name or "rpb" in name:
+            return x + jax.random.normal(jax.random.PRNGKey(len(name)), x.shape) * 0.1
+        return x
+
+    eparams = jax.tree_util.tree_map_with_path(excite, params)
+
+    # CPU runs the oracle warp by default; force the hardware-kernel wiring
+    # (the fixture already routes its v3/v4 Pallas calls to interpret mode)
+    orig = MP.warp_planes
+    monkeypatch.setattr(
+        MP, "warp_planes",
+        lambda src, flow, on_tpu, guarded=True: orig(src, flow, True, guarded),
+    )
+
+    # jit: eager CPU dispatch pays minutes of per-op mini-compiles (the
+    # round-2 dryrun lesson); one traced compile per dtype is ~10x faster
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def fwd(dt, p, m, f):
+        return modet_forward_planes(
+            p, m, f, qk_scale=1.0, guarded_warp=True, compute_dtype=dt,
+        )
+
+    _, flow32 = fwd(None, eparams, moving, fixed)
+    _, flow16 = fwd("bfloat16", eparams, moving, fixed)
+    assert flow16.dtype == jnp.float32
+    assert float(jnp.abs(flow32).max()) > 0.05  # excited flows, not degenerate
+    err = np.abs(np.asarray(flow16) - np.asarray(flow32))
+    # bounds from tests/test_modet.py::test_bf16_compute_matches_f32 (the
+    # same recipe through the flax graph); the kernels must not add to them
+    assert float(err.mean()) < 0.06, err.mean()
+    assert float(np.percentile(err, 99)) < 0.3, np.percentile(err, 99)
 
 
 @pytest.mark.slow
