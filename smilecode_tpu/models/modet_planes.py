@@ -380,10 +380,16 @@ def modet_forward_planes(
     qk_scale: float | None = 1.0,
     compute_dtype=None,
     guarded_warp: bool = True,
+    hw_warp: bool | None = None,
 ):
     """Full ModeT forward in planes layout. Same contract as
-    `ModeT.__call__`: (moving, fixed) NDHWC -> (y_moved, flow) NDHWC."""
-    on_tpu = jax.default_backend() == "tpu"
+    `ModeT.__call__`: (moving, fixed) NDHWC -> (y_moved, flow) NDHWC.
+
+    hw_warp: None picks the backend from the platform (kernels on TPU,
+    oracle elsewhere); True/False force it. bench.py's bf16 gate runs the
+    same graph twice (kernels vs oracle) to isolate on-chip kernel error
+    from the feature path's intrinsic bf16 noise."""
+    on_tpu = jax.default_backend() == "tpu" if hw_warp is None else hw_warp
     p = params["params"] if "params" in params else params
     nh = tuple(num_heads)
     scale = qk_scale or head_dim ** -0.5

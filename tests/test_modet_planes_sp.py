@@ -307,10 +307,15 @@ def _oracle_attention_planes_prepad(qs, kpl, rpb, heads, scale=1.0,
     return out.reshape(bh, 3, d, h, w)
 
 
+@pytest.mark.slow
 def test_spatial_train_step_matches_single_device(monkeypatch):
     """`train.make_train_step_spatial` on a (data=2, spatial=2) mesh takes
     the same SGD step as the single-device planes fast path (gradient
-    equality through the sharded backward, composed with DP)."""
+    equality through the sharded backward, composed with DP).
+
+    slow: ~50 s of full-model fwd+bwd compiles; the same property runs
+    under the driver as dryrun stage 3 and the loss/grad equality core is
+    pinned by test_spatial_train_loss_grads_equal_unsharded."""
     import optax
     from smilecode_tpu.config import TrainConfig
     from smilecode_tpu.models.registry import build_model

@@ -51,7 +51,10 @@ def _tiny_setup():
     return spec, params, x, y
 
 
+@pytest.mark.slow
 def test_dp_planes_step_matches_single_device(monkeypatch):
+    # slow: ~50 s of full-model fwd+bwd compiles; the DP x planes step also
+    # executes under the driver as dryrun stage 4 every round.
     monkeypatch.setattr(MP, "modet_attention_planes_diff", _oracle_attention_planes)
     spec, params, x, y = _tiny_setup()
     # sgd: params' diff = lr * grads' diff, so this asserts GRADIENT equality
