@@ -111,13 +111,17 @@ def test_train_loss_decreases(model_and_params):
     from smilecode_tpu.losses import ncc_vxm, grad3d
 
     model, params, _, _ = model_and_params
-    # synthetic blob pair with a real offset to register
-    g = np.stack(np.meshgrid(*[np.arange(s) for s in SHAPE], indexing="ij"), -1)
+    # synthetic blob pair with a real offset to register; smaller volume
+    # than the fixture's (params are shape-independent): 6 fwd+bwd steps at
+    # 32^3 were ~30 s of the fast suite's budget, and the decreasing-loss
+    # property doesn't need the resolution
+    shape = (32, 16, 16)
+    g = np.stack(np.meshgrid(*[np.arange(s) for s in shape], indexing="ij"), -1)
     blob = lambda c: np.exp(
-        -np.sum((g - np.asarray(c)) ** 2, -1) / (2 * 5.0 ** 2)
+        -np.sum((g - np.asarray(c)) ** 2, -1) / (2 * 4.0 ** 2)
     ).astype(np.float32)
-    moving = jnp.asarray(blob([18, 16, 16])[None, ..., None])
-    fixed = jnp.asarray(blob([14, 16, 16])[None, ..., None])
+    moving = jnp.asarray(blob([18, 8, 8])[None, ..., None])
+    fixed = jnp.asarray(blob([14, 8, 8])[None, ..., None])
 
     tx = optax.adam(1e-3)
     opt_state = tx.init(params)

@@ -66,6 +66,7 @@ def test_kernel_grads_match_oracle(shape, heads, scale):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow  # ~23 s interpret-mode B2 backward; edge handling only
 def test_kernel_grads_multiblock():
     """h=72 -> hp=72, hb=24, 3 h-blocks: exercises B2's clamped unpadded
     window reads at interior blocks (base=8) and both h edges (base=0 and
@@ -157,6 +158,7 @@ def test_modet_with_pallas_impl_interpret():
     np.testing.assert_allclose(np.asarray(fp), np.asarray(fx), atol=1e-4, rtol=1e-3)
 
 
+@pytest.mark.slow  # ~29 s interpret backward; D-sharded path also runs in dryrun stage 3
 def test_planes_grads_k_prepadded_d():
     """k_prepadded_d (the D-sharded path): the kernel consumes k with its
     1-voxel D border supplied by the caller (halo slabs, NONZERO here) and

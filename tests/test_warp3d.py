@@ -57,6 +57,7 @@ def test_warp_dispatch_pallas():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.slow  # ~12 s interpret grad of the legacy v1 windowed kernel
 def test_grad_via_custom_vjp():
     src = jnp.asarray(RNG.standard_normal((1, 8, 8, 8, 1)).astype(np.float32))
     fl = smooth_flow((8, 8, 8), 0.4, 2)

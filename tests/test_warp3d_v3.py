@@ -150,6 +150,7 @@ def test_planes_hw_vjp_matches_oracle():
     np.testing.assert_allclose(np.asarray(df_hw), np.asarray(df_ref), atol=3e-5)
 
 
+@pytest.mark.slow  # ~15 s; oracle-fallback routing also covered by the switch tests
 def test_planes_hw_guard_falls_back_exact():
     """Wild flows (beyond the v3 window budget) must route through the
     oracle fallback and stay exact, fwd and bwd."""
