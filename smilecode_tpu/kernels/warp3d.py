@@ -1,5 +1,11 @@
 """Pallas TPU kernel: trilinear 3D warp via windowed DMA + candidate loops.
 
+STATUS: FROZEN (generation v1/v2). The live planes path runs
+`kernels/warp3d_v4.py` (whole-plane programs) with `warp3d_v3.py` as its
+guard fallback; this module remains only as the NDHWC-layout `warp3d_guarded`
+backend behind ``ops.warp.warp(impl="guarded"|"pallas")`` (lazy import, not
+on the planes hot path) and is unit-tested but no longer optimized.
+
 Rationale (measured on v5e): XLA lowers element gathers to ~8 cycles/element
 scalar loops; even the row-gather reformulation (`ops/warp.py` packed path)
 is bound by ~29 GB/s random 512B row reads (92-190 ms per full-res warp).

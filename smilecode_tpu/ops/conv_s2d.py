@@ -1,5 +1,9 @@
 """Space-to-depth 3x3x3 convolution for tiny channel counts.
 
+STATUS: FROZEN (documented negative result; see blocks.py for the policy).
+Kept unit-tested behind ``ops.blocks.conv3x3(impl="s2d")`` (lazy import);
+the live encoder uses `ops/encoder_s2d.py` instead.
+
 v5e conv lowering pads tiny channel dims catastrophically (observed 16x
 HBM expansion for C=8 encoder convs). A stride-1 SAME 3^3 conv on
 (B, D, H, W, C) is EXACTLY equivalent to a VALID 2^3 conv on the
