@@ -159,10 +159,27 @@ def measure(k: int, impl: str = "packed") -> dict:
 
         prod = "prod" in impl
         if prod:
-            params = _excite_params(params)
-            # smooth brain-like volumes: realistic image content for the
-            # excited flows (plain uniform noise drives attention harder
-            # than brains do)
+            # realistic params: a briefly-TRAINED checkpoint when available
+            # (benchmarks/make_prod_ckpt.py) — trained flows are smooth with
+            # +-3..10 voxel magnitude, the regime real checkpoints produce
+            # and the guard ladder's kernels serve. Excited params are only
+            # the fallback: their flows are softmax tie-breaking noise
+            # (rough +-11 voxels at ANY excitation scale), which no windowed
+            # kernel can serve — that row measures the oracle, i.e. a
+            # worst-case bound, not production.
+            ckpt = os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "benchmarks", "prod_ckpt.npz",
+            )
+            if os.path.exists(ckpt):
+                from benchmarks.make_prod_ckpt import unflatten_into
+                params = unflatten_into(params, dict(np.load(ckpt)))
+                print("prod row: loaded trained checkpoint", file=sys.stderr)
+            else:
+                params = _excite_params(params)
+                print("prod row: no checkpoint; excited params (worst-case)",
+                      file=sys.stderr)
+            # smooth brain-like volumes: realistic image content
             movings = jnp.stack([_smooth_vol(10 + i, SHAPE) for i in range(k)])
             fixed = _smooth_vol(2, SHAPE)
 
@@ -461,12 +478,15 @@ def main():
         _log("bf16 gate did not pass — keeping f32 number; tail:\n%s"
              % "\n".join((gate_proc.stderr or "").splitlines()[-4:]))
 
-    # ---- phase 3: full-res train-step row (VERDICT r2 weak #4)
-    for k in (2, 1):
-        stats = attempt(["--measure-train", str(k)], 3600, f"train k={k}")
-        if stats:
-            result["train_step_ms_full_res"] = round(stats["per_step_ms"], 3)
-            break
+    # ---- phase 3: full-res train-step row (VERDICT r2 weak #4). k=1 ONLY:
+    # XLA fully unrolls a 2-trip scan and co-allocates both iterations'
+    # backward activations, pushing the full-res train step into HBM paging
+    # on this shared tunnel — measured 2026-08-19: 7566 ms/step at k=2
+    # (twice) vs 135.6 ms at k=1 (train_bisect, same graph). The carry
+    # dependency serializes compute but not buffer lifetimes.
+    stats = attempt(["--measure-train", "1"], 3600, "train k=1")
+    if stats:
+        result["train_step_ms_full_res"] = round(stats["per_step_ms"], 3)
 
     # ---- phase 4: production-config row (VERDICT r3 weak #4): guarded
     # warps + excited params => realistic non-trivial flows; bounds the

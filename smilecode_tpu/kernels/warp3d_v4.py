@@ -224,11 +224,18 @@ def _chunk_channels(c: int, kd_n: int, rows_total: int, swp: int, itemsize: int)
     return max(1, min(c, _WIN_BYTES_MAX // max(per_c, 1)))
 
 
-def warp3d_planes_v4(planes, cd, ch, cw, c: int, interpret: bool = False):
+def warp3d_planes_v4(planes, cd, ch, cw, c: int, interpret: bool = False,
+                     kd: int = KD):
     """Planes-layout v4 entry: ``planes`` is (B*C, SD, SH, SW) with W minor;
     cd/ch/cw are ABSOLUTE sample coordinates (B, FD, FH, FW). Returns
     (B*C, FD, FH, FW) float32. Exact whenever the per-plane d-cell spread
-    fits KD-2 (`warp_v4_window_violations`); h/w displacement unbounded."""
+    fits kd-2 (`warp_v4_window_violations`); h/w displacement unbounded.
+
+    ``kd`` widens the d window budget: the guard ladder escalates KD -> a
+    wide window (16) for large-but-smooth flows before giving up on the
+    kernel (the candidate-loop COST is sized by the per-block data ranges,
+    not by kd, so a wide window on a smooth flow stays cheap — only the
+    window DMA grows)."""
     bc = planes.shape[0]
     b = bc // c
     sd, sh, sw = planes.shape[1:]
@@ -241,7 +248,7 @@ def warp3d_planes_v4(planes, cd, ch, cw, c: int, interpret: bool = False):
     shp = _round_up(sh + 3, 8)
     swp = _round_up(sw + 3, 128)
     io_dt = planes.dtype if planes.dtype == jnp.bfloat16 else jnp.float32
-    kd_n = min(KD, sdp)
+    kd_n = min(kd, sdp)
     rows_total = HMARGIN + shp + HB + 8
 
     cmax = _chunk_channels(c, kd_n, rows_total, swp, np.dtype(io_dt).itemsize)
@@ -254,7 +261,7 @@ def warp3d_planes_v4(planes, cd, ch, cw, c: int, interpret: bool = False):
             cn = min(cmax, c - c0)
             chunk = grouped[:, c0:c0 + cn].reshape(b * cn, sd, sh, sw)
             outs.append(
-                warp3d_planes_v4(chunk, cd, ch, cw, cn, interpret)
+                warp3d_planes_v4(chunk, cd, ch, cw, cn, interpret, kd)
                 .reshape(b, cn, fd, fh, fw)
             )
         return jnp.concatenate(outs, axis=1).reshape(b * c, fd, fh, fw)
@@ -426,7 +433,8 @@ def _warp_v4_dflow_kernel(c: int, sd: int, sh: int, sw: int,
     jax.lax.fori_loop(0, nhb, blk_body, 0)
 
 
-def warp3d_planes_v4_dflow(planes, cd, ch, cw, g, c: int, interpret: bool = False):
+def warp3d_planes_v4_dflow(planes, cd, ch, cw, g, c: int, interpret: bool = False,
+                           kd: int = KD):
     """d_coords for the v4 planes warp. ``g``: cotangent (B*C, FD, FH, FW)
     float32 planes. Returns (d_cd, d_ch, d_cw), each (B, FD, FH, FW) f32."""
     bc = planes.shape[0]
@@ -441,7 +449,7 @@ def warp3d_planes_v4_dflow(planes, cd, ch, cw, g, c: int, interpret: bool = Fals
     shp = _round_up(sh + 3, 8)
     swp = _round_up(sw + 3, 128)
     io_dt = planes.dtype if planes.dtype == jnp.bfloat16 else jnp.float32
-    kd_n = min(KD, sdp)
+    kd_n = min(kd, sdp)
     rows_total = HMARGIN + shp + HB + 8
 
     cmax = _chunk_channels(c, kd_n, rows_total, swp, np.dtype(io_dt).itemsize)
@@ -456,7 +464,7 @@ def warp3d_planes_v4_dflow(planes, cd, ch, cw, g, c: int, interpret: bool = Fals
             chunk = grouped[:, c0:c0 + cn].reshape(b * cn, sd, sh, sw)
             gchunk = gg[:, c0:c0 + cn].reshape(b * cn, fd, fh, fw)
             pd, ph, pw = warp3d_planes_v4_dflow(
-                chunk, cd, ch, cw, gchunk, cn, interpret
+                chunk, cd, ch, cw, gchunk, cn, interpret, kd
             )
             dd, dh, dw = dd + pd, dh + ph, dw + pw
         return dd, dh, dw
@@ -507,11 +515,11 @@ def warp3d_planes_v4_dflow(planes, cd, ch, cw, g, c: int, interpret: bool = Fals
     return (dcd[:, :, :fh, :fw], dch[:, :, :fh, :fw], dcw[:, :, :fh, :fw])
 
 
-def warp_v4_window_violations(cd, sd: int):
+def warp_v4_window_violations(cd, sd: int, kd: int = KD):
     """Fraction of (b, d') PLANES whose d-cell spread exceeds the v4 window
     budget (those cells would clamp). Only the d axis has a budget: the v4
     window holds every padded H row and full W rows."""
     b, fd, fh, fw = cd.shape
     celld = jnp.floor(cd).reshape(b, fd, fh * fw)
     d_spread = jnp.max(celld, -1) - jnp.min(celld, -1)
-    return jnp.mean((d_spread > KD - 2).astype(jnp.float32))
+    return jnp.mean((d_spread > kd - 2).astype(jnp.float32))

@@ -209,6 +209,15 @@ _V3_INTERPRET = False
 # are sub-ms and the extra switch branch would only buy compile time
 _V4_MIN_VOXELS = 80 * 96 * 80
 
+# wide d-window budget for the second guard branch: realistic smooth flows
+# of +-3..13 voxels have per-plane d-cell spreads of ~4..14 (round-4 spread
+# probe) — beyond KD4-2=6 but well within 16-2. The candidate-loop cost is
+# sized by the per-block data ranges, not the window, so the wide branch on
+# a smooth flow costs only the bigger window DMA; without it every real-
+# checkpoint-magnitude flow fell through to the scalar-gather oracle
+# (~300 ms/warp, the round-3 prod row's 1094 ms).
+_KD4_WIDE = 16
+
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _warp_planes_hw(src, flow, guarded: bool):
@@ -219,11 +228,11 @@ def _warp_planes_hw(src, flow, guarded: bool):
     the packed path's 16x-padded row gathers (on-chip at 160x192x160,
     smooth flows: v3 35/56 ms at C=1/8 vs v2 31/~500, packed 96/229).
 
-    At half-res and above (`_V4_MIN_VOXELS`) the v4 whole-plane kernel runs
-    first — one window DMA per (batch, d') plane, h displacement unbounded —
-    with v3 as the middle fallback for flows whose PER-PLANE d-cell spread
-    exceeds v4's budget (v3's per-8-row-tile budgets are effectively
-    looser for large smooth flows).
+    At half-res and above (`_V4_MIN_VOXELS`) the guard ladder is
+    v4(KD=8) -> v4(KD=16 wide window, for realistic smooth flows of
+    +-3..13 voxels whose per-plane d-spread beats the narrow budget) ->
+    v3 (per-8-row-tile budgets: covers strong smooth d-GRADIENTS across a
+    plane that overflow even the wide window) -> oracle.
 
     When guarded, flows exceeding every kernel budget fall back to the
     naive-gather oracle (exact, memory-light; the packed path inside a cond
@@ -238,6 +247,9 @@ def _warp_planes_hw(src, flow, guarded: bool):
 
     def v4(pl_, cd_, ch_, cw_):
         return warp3d_planes_v4(pl_, cd_, ch_, cw_, c, _V3_INTERPRET)
+
+    def v4wide(pl_, cd_, ch_, cw_):
+        return warp3d_planes_v4(pl_, cd_, ch_, cw_, c, _V3_INTERPRET, _KD4_WIDE)
 
     if not guarded:
         out = (v4 if big else v3)(planes, cd, ch, cw)
@@ -254,8 +266,14 @@ def _warp_planes_hw(src, flow, guarded: bool):
     viol3 = _violations_from_coords(cd, ch, d, h, w)
     if big:
         viol4 = _v4_violations_from_coords(cd, d)
-        idx = jnp.where(viol4 == 0, 0, jnp.where(viol3 == 0, 1, 2))
-        out = jax.lax.switch(idx, [v4, v3, fallback], planes, cd, ch, cw)
+        viol4w = _v4_violations_from_coords(cd, d, _KD4_WIDE)
+        idx = jnp.where(
+            viol4 == 0, 0,
+            jnp.where(viol4w == 0, 1, jnp.where(viol3 == 0, 2, 3)),
+        )
+        out = jax.lax.switch(
+            idx, [v4, v4wide, v3, fallback], planes, cd, ch, cw
+        )
     else:
         out = jax.lax.cond(viol3 > 0, fallback, v3, planes, cd, ch, cw)
     return out.reshape(b, c, d, h, w).astype(src.dtype)
@@ -292,6 +310,10 @@ def _warp_hw_bwd(guarded, res, g):
 
     kernel_bwd_v3 = functools.partial(_kernel_bwd, warp3d_planes_v3_dflow)
     kernel_bwd_v4 = functools.partial(_kernel_bwd, warp3d_planes_v4_dflow)
+    kernel_bwd_v4w = functools.partial(
+        _kernel_bwd,
+        functools.partial(warp3d_planes_v4_dflow, kd=_KD4_WIDE),
+    )
 
     def oracle_bwd(src_, flow_, g_):
         _, vjp = jax.vjp(_warp_planes_ref, src_, flow_)
@@ -304,9 +326,14 @@ def _warp_hw_bwd(guarded, res, g):
     viol3 = _violations_from_coords(cd, ch, d, h, w)
     if big:
         viol4 = _v4_violations_from_coords(cd, d)
-        idx = jnp.where(viol4 == 0, 0, jnp.where(viol3 == 0, 1, 2))
+        viol4w = _v4_violations_from_coords(cd, d, _KD4_WIDE)
+        idx = jnp.where(
+            viol4 == 0, 0,
+            jnp.where(viol4w == 0, 1, jnp.where(viol3 == 0, 2, 3)),
+        )
         return jax.lax.switch(
-            idx, [kernel_bwd_v4, kernel_bwd_v3, oracle_bwd], src, flow, g
+            idx, [kernel_bwd_v4, kernel_bwd_v4w, kernel_bwd_v3, oracle_bwd],
+            src, flow, g,
         )
     return jax.lax.cond(viol3 > 0, oracle_bwd, kernel_bwd_v3, src, flow, g)
 
@@ -342,14 +369,14 @@ def _violations_from_coords(cd, ch, sd, sh, sw):
     return jnp.sum(bad.astype(jnp.int32))
 
 
-def _v4_violations_from_coords(cd, sd):
+def _v4_violations_from_coords(cd, sd, kd: int = KD4):
     """Count of (b, d') planes whose d-cell spread exceeds the v4 window
-    budget (mirrors `kernels.warp3d_v4.warp_v4_window_violations`; v4 has no
-    h/w budget — the whole padded H extent rides in its window)."""
+    budget ``kd`` (mirrors `kernels.warp3d_v4.warp_v4_window_violations`; v4
+    has no h/w budget — the whole padded H extent rides in its window)."""
     b, fd, fh, fw = cd.shape
     celld = jnp.floor(cd).reshape(b, fd, fh * fw)
     d_spread = jnp.max(celld, -1) - jnp.min(celld, -1)
-    return jnp.sum((d_spread > KD4 - 2).astype(jnp.int32))
+    return jnp.sum((d_spread > kd - 2).astype(jnp.int32))
 
 
 def cwm_planes(p, x, heads: int):

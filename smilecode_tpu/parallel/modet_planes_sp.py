@@ -57,6 +57,7 @@ from smilecode_tpu.models.modet_planes import (
     _violations_from_coords,
     _v4_violations_from_coords,
     _V4_MIN_VOXELS,
+    _KD4_WIDE,
     leaky_relu,
     proj_ln_planes,
     to_planes,
@@ -223,6 +224,9 @@ def _warp_sp_hw(src, flow, guarded: bool):
     def v4(pl_, cd_, ch_, cw_):
         return warp3d_planes_v4(pl_, cd_, ch_, cw_, c, _SP_INTERPRET)
 
+    def v4wide(pl_, cd_, ch_, cw_):
+        return warp3d_planes_v4(pl_, cd_, ch_, cw_, c, _SP_INTERPRET, _KD4_WIDE)
+
     big = dl * h * w >= _V4_MIN_VOXELS
     if not guarded:
         out = (v4 if big else v3)(planes, cd, ch, cw)
@@ -233,8 +237,16 @@ def _warp_sp_hw(src, flow, guarded: bool):
     viol3 = jax.lax.psum(_violations_from_coords(cd, ch, dg, h, w), AXIS)
     if big:
         viol4 = jax.lax.psum(_v4_violations_from_coords(cd, dg), AXIS)
-        idx = jnp.where(viol4 == 0, 0, jnp.where(viol3 == 0, 1, 2))
-        out = jax.lax.switch(idx, [v4, v3, oracle], planes, cd, ch, cw)
+        viol4w = jax.lax.psum(
+            _v4_violations_from_coords(cd, dg, _KD4_WIDE), AXIS
+        )
+        idx = jnp.where(
+            viol4 == 0, 0,
+            jnp.where(viol4w == 0, 1, jnp.where(viol3 == 0, 2, 3)),
+        )
+        out = jax.lax.switch(
+            idx, [v4, v4wide, v3, oracle], planes, cd, ch, cw
+        )
     else:
         out = jax.lax.cond(viol3 > 0, oracle, v3, planes, cd, ch, cw)
     return out.reshape(b, c, dl, h, w).astype(src.dtype)
@@ -269,6 +281,10 @@ def _warp_sp_hw_bwd(guarded, res, g):
 
     kernel_bwd_v3 = functools.partial(_kernel_bwd, warp3d_planes_v3_dflow)
     kernel_bwd_v4 = functools.partial(_kernel_bwd, warp3d_planes_v4_dflow)
+    kernel_bwd_v4w = functools.partial(
+        _kernel_bwd,
+        functools.partial(warp3d_planes_v4_dflow, kd=_KD4_WIDE),
+    )
 
     def oracle_bwd(src_, flow_, g_):
         _, vjp = jax.vjp(_warp_sp_oracle, src_, flow_)
@@ -281,9 +297,16 @@ def _warp_sp_hw_bwd(guarded, res, g):
     viol3 = jax.lax.psum(_violations_from_coords(cd, ch, dg, h, w), AXIS)
     if big:
         viol4 = jax.lax.psum(_v4_violations_from_coords(cd, dg), AXIS)
-        idx = jnp.where(viol4 == 0, 0, jnp.where(viol3 == 0, 1, 2))
+        viol4w = jax.lax.psum(
+            _v4_violations_from_coords(cd, dg, _KD4_WIDE), AXIS
+        )
+        idx = jnp.where(
+            viol4 == 0, 0,
+            jnp.where(viol4w == 0, 1, jnp.where(viol3 == 0, 2, 3)),
+        )
         return jax.lax.switch(
-            idx, [kernel_bwd_v4, kernel_bwd_v3, oracle_bwd], src, flow, g
+            idx, [kernel_bwd_v4, kernel_bwd_v4w, kernel_bwd_v3, oracle_bwd],
+            src, flow, g,
         )
     return jax.lax.cond(viol3 > 0, oracle_bwd, kernel_bwd_v3, src, flow, g)
 

@@ -38,8 +38,11 @@ def hw_warp_interpret(monkeypatch):
 
 
 def _hw_case_flows(shape):
-    """(name, flow) cases hitting each switch branch: smooth -> v4,
-    plane-wide d ramp -> v3, alternating wild d -> oracle."""
+    """(name, expected switch index, flow) cases hitting each guard branch:
+    smooth -> v4 (0); medium d ramp (plane spread 10: beats KD=8's budget 6,
+    fits the wide window's 14) -> v4wide (1); steep d ramp (plane spread 18
+    beats both v4 windows, but the per-8-row-tile spread stays within v3's
+    budget) -> v3 (2); alternating wild d -> oracle (3)."""
     d, h, w = shape
     g = np.stack(
         np.meshgrid(*[np.linspace(0, 2 * np.pi, s) for s in shape], indexing="ij"), -1
@@ -48,22 +51,47 @@ def _hw_case_flows(shape):
         [np.sin(g[..., 0] + i) * np.cos(g[..., 1] - i) for i in range(3)], -1
     )
     ramp = np.zeros((*shape, 3), np.float32)
-    ramp[..., 0] = np.linspace(-5, 5, h)[None, :, None]  # plane d-spread 10 > v4 budget
+    ramp[..., 0] = np.linspace(-5, 5, h)[None, :, None]
+    steep = np.zeros((*shape, 3), np.float32)
+    steep[..., 0] = np.linspace(-9, 9, h)[None, :, None]
+    # alternate d displacement along H so every plane AND every 8-row tile
+    # sees the full 16-voxel d spread (alternating along D would leave each
+    # plane's displacement constant — which v4 handles exactly)
     wild = np.zeros((*shape, 3), np.float32)
-    wild[::2, ..., 0] = 8.0
-    wild[1::2, ..., 0] = -8.0  # per-tile d-spread 16 > every kernel budget
+    wild[:, ::2, :, 0] = 8.0
+    wild[:, 1::2, :, 0] = -8.0
     return [
-        ("v4", smooth.astype(np.float32)),
-        ("v3", ramp),
-        ("oracle", wild),
+        ("v4", 0, smooth.astype(np.float32)),
+        ("v4wide", 1, ramp),
+        ("v3", 2, steep),
+        ("oracle", 3, wild),
     ]
+
+
+def test_hw_warp_switch_routing(hw_warp_interpret):
+    """Each case must land on its intended guard branch (the branch index
+    computed from the violation counts, as _warp_planes_hw computes it)."""
+    MP = hw_warp_interpret
+    shape = (16, 24, 16)
+    d, h, w = shape
+    for name, want_idx, fl in _hw_case_flows(shape):
+        flow = jnp.asarray(fl[None]).transpose(0, 4, 1, 2, 3)
+        cd, ch, cw = MP._planes_coords(flow, d, h, w)
+        viol4 = MP._v4_violations_from_coords(cd, d)
+        viol4w = MP._v4_violations_from_coords(cd, d, MP._KD4_WIDE)
+        viol3 = MP._violations_from_coords(cd, ch, d, h, w)
+        idx = int(jnp.where(
+            viol4 == 0, 0,
+            jnp.where(viol4w == 0, 1, jnp.where(viol3 == 0, 2, 3)),
+        ))
+        assert idx == want_idx, f"{name}: routed to branch {idx}"
 
 
 def test_hw_warp_switch_branches_match_oracle(hw_warp_interpret):
     MP = hw_warp_interpret
     shape, c = (16, 24, 16), 2
     src = jnp.asarray(RNG.standard_normal((1, c, *shape)).astype(np.float32))
-    for name, fl in _hw_case_flows(shape):
+    for name, _, fl in _hw_case_flows(shape):
         flow = jnp.asarray(fl[None]).transpose(0, 4, 1, 2, 3)
         ref = MP._warp_planes_ref(src, flow)
         out = MP._warp_planes_hw(src, flow, True)
@@ -76,7 +104,7 @@ def test_hw_warp_switch_vjp_matches_oracle(hw_warp_interpret):
     MP = hw_warp_interpret
     shape, c = (12, 16, 16), 2
     src = jnp.asarray(RNG.standard_normal((1, c, *shape)).astype(np.float32))
-    for name, fl in _hw_case_flows(shape):
+    for name, _, fl in _hw_case_flows(shape):
         flow = jnp.asarray(fl[None]).transpose(0, 4, 1, 2, 3)
 
         def loss_hw(s, f):
@@ -122,7 +150,7 @@ def test_bf16_vs_f32_warp_kernel(hw_warp_interpret):
     MP = hw_warp_interpret
     shape, c = (16, 24, 16), 2
     src = jnp.asarray(RNG.standard_normal((1, c, *shape)).astype(np.float32))
-    name, fl = _hw_case_flows(shape)[0]
+    name, _, fl = _hw_case_flows(shape)[0]
     assert name == "v4"
     flow = jnp.asarray(fl[None]).transpose(0, 4, 1, 2, 3)
     ref = MP._warp_planes_ref(src, flow)

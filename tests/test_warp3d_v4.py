@@ -142,6 +142,54 @@ def test_dflow_matches_oracle_autodiff(shape, c):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=3e-5)
 
 
+def test_wide_window_exact_where_narrow_clamps():
+    """kd=16 wide window: exact on flows whose per-plane d-cell spread beats
+    the default KD=8 budget (the realistic-checkpoint regime: +-3..13 voxel
+    smooth flows); the same flow through the narrow window clamps."""
+    shape, c = (24, 16, 16), 2
+    src = jnp.asarray(RNG.standard_normal((1, *shape, c)).astype(np.float32))
+    fl = smooth_flow(shape, 5.0, 1)  # plane d-spread ~7..10: > 6, <= 14
+    coords = base_grid(*shape, jnp.float32)[None] + fl
+    assert float(warp_v4_window_violations(coords[..., 0], shape[0])) > 0.0
+    assert float(warp_v4_window_violations(coords[..., 0], shape[0], 16)) == 0.0
+
+    ref = _warp_simple(src, fl)
+    planes = src.transpose(0, 4, 1, 2, 3).reshape(c, *shape)
+    wide = warp3d_planes_v4(
+        planes, coords[..., 0], coords[..., 1], coords[..., 2], c,
+        interpret=True, kd=16,
+    ).reshape(1, c, *shape).transpose(0, 2, 3, 4, 1)
+    np.testing.assert_allclose(np.asarray(wide), np.asarray(ref), atol=2e-5)
+
+    narrow = v4(src, fl)
+    assert float(jnp.abs(narrow - ref).max()) > 0.05  # narrow budget clamps
+
+
+def test_wide_window_dflow_matches_oracle():
+    shape, c = (24, 16, 16), 2
+    d, h, w = shape
+    src = jnp.asarray(RNG.standard_normal((1, *shape, c)).astype(np.float32))
+    fl = smooth_flow(shape, 5.0, 1)
+    g = jnp.asarray(RNG.standard_normal((1, c, d, h, w)).astype(np.float32))
+    coords = base_grid(d, h, w, jnp.float32)[None] + fl
+
+    def oracle(cd, ch, cw):
+        crd = jnp.stack([cd, ch, cw], -1)
+        out = _warp_simple(src, crd - base_grid(d, h, w, jnp.float32)[None])
+        return jnp.sum(out.transpose(0, 4, 1, 2, 3) * g.reshape(1, c, d, h, w))
+
+    ref = jax.grad(oracle, argnums=(0, 1, 2))(
+        coords[..., 0], coords[..., 1], coords[..., 2]
+    )
+    planes = src.transpose(0, 4, 1, 2, 3).reshape(c, d, h, w)
+    got = warp3d_planes_v4_dflow(
+        planes, coords[..., 0], coords[..., 1], coords[..., 2],
+        g.reshape(c, d, h, w), c, interpret=True, kd=16,
+    )
+    for r, o in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r), atol=3e-5)
+
+
 def test_violations_guard():
     shape = (16, 16, 16)
     smooth = smooth_flow(shape, 1.5, 2)
