@@ -251,6 +251,95 @@ def measure(k: int, impl: str = "packed") -> dict:
     }
 
 
+def measure_warps(k: int = 2) -> dict:
+    """Guarded-warp-ladder cost on smooth REALISTIC flows, per warp site of
+    the planes forward, summed. This is the production-relevant warp number
+    that needs no trained checkpoint: the warp kernels take explicit flows,
+    so we inject smooth +-4-voxel fields (scaled per level to the same
+    physical deformation) — the regime real checkpoints produce — through
+    `warp_planes(guarded=True)` at every (shape, C) site of
+    `modet_forward_planes` (models/modet_planes.py:466-493). The e2e prod
+    row with excited params measures softmax tie-breaking NOISE flows (an
+    oracle-fallback worst case); this row measures the intended regime."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from smilecode_tpu.models.modet_planes import warp_planes
+
+    full = SHAPE
+    # (D, H, W, C) of every warp site in the full-res planes forward, in
+    # graph order: m4w, compose@1/4, m3w, compose@1/2, m2w, w2-compose@1/2,
+    # m1w, w1-compose@full, final image warp
+    sites = [
+        ((20, 24, 20), 64),
+        ((40, 48, 40), 3),
+        ((40, 48, 40), 32),
+        ((80, 96, 80), 3),
+        ((80, 96, 80), 16),
+        ((80, 96, 80), 3),
+        (full, 8),
+        (full, 3),
+        (full, 1),
+    ]
+    rng = np.random.default_rng(3)
+
+    def smooth_flow(seed, shape, amp):
+        r = np.random.default_rng(seed)
+        low = r.standard_normal((3, 10, 12, 10)).astype(np.float32)
+        f = jax.image.resize(jnp.asarray(low), (3, *shape), "linear")
+        return (f / (jnp.abs(f).max() + 1e-9) * amp)[None]  # (1,3,D,H,W)
+
+    srcs = [
+        jnp.asarray(rng.random((1, c, *s), dtype=np.float64).astype(np.float32))
+        for s, c in sites
+    ]
+    # k distinct flow sets per site; amp scales with resolution (same
+    # physical deformation fraction at every level)
+    flows = [
+        jnp.stack([
+            smooth_flow(97 + 13 * i + j, s, 4.0 * s[0] / full[0])
+            for j in range(k)
+        ])
+        for i, (s, c) in enumerate(sites)
+    ]
+
+    def rep(srcs, flows):
+        def body(acc, fls):
+            tot = acc
+            for src, fl in zip(srcs, fls):
+                src, _ = jax.lax.optimization_barrier((src, tot))
+                out = warp_planes(src, fl, on_tpu=True, guarded=True)
+                tot = tot + jnp.sum(out[:, 0, 0, 0, :8])
+            return tot, ()
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), tuple(flows))
+        return acc
+
+    rep = jax.jit(rep)
+
+    @jax.jit
+    def trivial(x):
+        return x * 1.0000001
+
+    float(rep(srcs, flows))
+    float(trivial(srcs[-1]).sum())
+    overhead = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(trivial(srcs[-1]).sum())
+        overhead.append((time.perf_counter() - t0) * 1000)
+    oh = float(np.median(overhead))
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(rep(srcs, flows))
+        times.append((time.perf_counter() - t0) * 1000)
+    med = float(np.median(times))
+    return {"warps_ms": (med - oh) / k}
+
+
 def measure_train(k: int) -> dict:
     """Full training step (fwd + NCC + Grad3d + bwd + amsgrad) at full res
     through the planes graph (the production TPU training path,
@@ -371,6 +460,9 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--measure-train":
         print("BENCH_RESULT " + json.dumps(measure_train(int(sys.argv[2]))), flush=True)
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--measure-warps":
+        print("BENCH_RESULT " + json.dumps(measure_warps()), flush=True)
+        return
 
     budget = float(os.environ.get("SMILECODE_BENCH_BUDGET_S", "2700"))
 
@@ -488,9 +580,17 @@ def main():
     if stats:
         result["train_step_ms_full_res"] = round(stats["per_step_ms"], 3)
 
-    # ---- phase 4: production-config row (VERDICT r3 weak #4): guarded
-    # warps + excited params => realistic non-trivial flows; bounds the
-    # guard/displacement cost before real checkpoints exist
+    # ---- phase 4: guarded warp ladder on smooth realistic (+-4 voxel)
+    # INJECTED flows, summed over every warp site of the forward — the
+    # production warp number that needs no trained checkpoint
+    stats = attempt(["--measure-warps"], 3600, "prod warps")
+    if stats:
+        result["prod_warps_ms"] = round(stats["warps_ms"], 3)
+
+    # ---- phase 5: production-config e2e row (VERDICT r3 weak #4): guarded
+    # warps + trained-checkpoint params when benchmarks/prod_ckpt.npz
+    # exists (realistic smooth flows), else excited params (softmax
+    # tie-breaking noise flows — an oracle-fallback worst-case bound)
     stats = attempt(["--measure", "2", "planes-prod"], 3600, "prod k=2 planes")
     if stats:
         result["prod_guarded_ms"] = round(stats["per_pair_ms"], 3)
