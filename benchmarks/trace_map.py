@@ -7,7 +7,10 @@ SAME process/compile that the profiler traces (so fusion numbering matches),
 aggregates the top trace ops, and greps each hot op's `metadata=` line
 (op_name + source_file:line) out of the dump.
 
-Usage: python -m benchmarks.trace_map [f32|bf16] [fwd|train]
+Usage: python -m benchmarks.trace_map [f32|bf16] [fwd|train] [guard|noguard]
+``noguard`` (default) matches bench.py's headline row (guarded_warp=False —
+near-zero bench flows make the kernels exact and the guard's fallback branch
+would only reserve cond temps); ``guard`` traces the production infer config.
 Artifacts: /tmp/xdump (HLO text), /tmp/trace_planes_map (profile).
 """
 import glob
@@ -39,6 +42,7 @@ RNG = np.random.default_rng(0)
 def main():
     dtype = sys.argv[1] if len(sys.argv) > 1 else "bf16"
     mode = sys.argv[2] if len(sys.argv) > 2 else "fwd"
+    guarded = (sys.argv[3] if len(sys.argv) > 3 else "noguard") == "guard"
     cd = jnp.bfloat16 if dtype == "bf16" else None
 
     model = ModeT(qk_scale=1.0)
@@ -50,7 +54,7 @@ def main():
 
         def loss(p, m, f):
             moved, flow = modet_forward_planes(
-                p, m, f, qk_scale=1.0, compute_dtype=cd
+                p, m, f, qk_scale=1.0, compute_dtype=cd, guarded_warp=guarded
             )
             return ncc_vxm(f, moved) + grad3d(flow, penalty="l2")
 
@@ -64,7 +68,7 @@ def main():
     else:
         fwd = jax.jit(
             lambda p, m, f: modet_forward_planes(
-                p, m, f, qk_scale=1.0, compute_dtype=cd
+                p, m, f, qk_scale=1.0, compute_dtype=cd, guarded_warp=guarded
             )
         )
 
