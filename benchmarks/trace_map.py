@@ -42,7 +42,13 @@ RNG = np.random.default_rng(0)
 def main():
     dtype = sys.argv[1] if len(sys.argv) > 1 else "bf16"
     mode = sys.argv[2] if len(sys.argv) > 2 else "fwd"
-    guarded = (sys.argv[3] if len(sys.argv) > 3 else "noguard") == "guard"
+    guard_arg = sys.argv[3] if len(sys.argv) > 3 else "noguard"
+    # reject typos instead of silently tracing the wrong config
+    usage = "usage: python -m benchmarks.trace_map [f32|bf16] [fwd|train] [guard|noguard]"
+    if dtype not in ("f32", "bf16") or mode not in ("fwd", "train") \
+            or guard_arg not in ("guard", "noguard"):
+        raise SystemExit(f"unrecognized args {sys.argv[1:]}\n{usage}")
+    guarded = guard_arg == "guard"
     cd = jnp.bfloat16 if dtype == "bf16" else None
 
     model = ModeT(qk_scale=1.0)

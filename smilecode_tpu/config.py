@@ -96,6 +96,10 @@ class InferConfig:
     stages: int = 4
     levels: Sequence[int] = (4, 4, 4, 4)
     dropout_rate: float = 0.0
+    # MC-dropout uncertainty protocol (`RDN/utils.py:377-504`): mc_iter > 0
+    # runs mc_iter stochastic forwards per pair (requires dropout_rate > 0)
+    # and reports Gal-decomposed uncertainty + UCE instead of plain Dice
+    mc_iter: int = 0
 
 
 def apply_cli_overrides(cfg, argv: list[str]):

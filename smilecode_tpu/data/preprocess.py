@@ -82,8 +82,13 @@ def _read_analyze_img_gz(path: str) -> np.ndarray:
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rb") as f:
         data = np.frombuffer(f.read(), dtype=dt)
+    # Analyze 7.5 stores the buffer x-fastest (then y, then z). Reshaping the
+    # raw buffer to (dz, dy, dx) therefore yields index order (z, y, x) with
+    # NO transpose — exactly what the reference gets from
+    # `sitk.GetArrayFromImage(sitk.ReadImage(path))` (makePklDataset.py:12-13),
+    # whose array convention is (z, y, x) over the same x-fastest buffer.
+    # Round-trip orientation test: tests/test_data.py::test_analyze_reader_roundtrip.
     vol = data[: dx * dy * dz].reshape(dz, dy, dx) if ndim >= 3 else data
-    # Analyze stores x fastest; transpose to (x, y, z) like SimpleITK GetArrayFromImage -> (z,y,x)
     return np.ascontiguousarray(vol)
 
 

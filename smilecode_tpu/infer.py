@@ -75,6 +75,73 @@ def make_infer_step(spec, cfg=None):
     return step
 
 
+def run_mc_uncertainty(spec, params, loader, cfg):
+    """MC-dropout uncertainty protocol end-to-end
+    (`/root/reference/Baseline methods/RDN/utils.py:377-504`):
+    mc_iter stochastic forwards per pair -> Gal decomposition
+    (`uncert_regression_gal`) -> calibration error (`uceloss`).
+
+    The reference's gal decomposition expects an aleatoric variance head as
+    the last output channel; our registration models emit a single moved-
+    image channel, so with C == 1 the aleatoric term is zero and the
+    uncertainty is the epistemic MC variance alone (documented deviation —
+    the protocol, bins and UCE math are the reference's).
+    """
+    import jax
+
+    from smilecode_tpu.metrics_ext import (
+        get_mc_preds,
+        uceloss,
+        uncert_regression_gal,
+    )
+    from smilecode_tpu.utils import AverageMeter
+
+    fwd = jax.jit(
+        lambda p, m, f, key: spec.module.apply(p, m, f, rngs={"dropout": key})[:2]
+    )
+
+    def apply_fn(moving, fixed, key):
+        return fwd(params, moving, fixed, key)
+
+    meters = {k: AverageMeter() for k in ("ale", "epi", "uncert", "uce", "err")}
+    rng = jax.random.PRNGKey(24)
+    for i, batch in enumerate(loader):
+        x, y = batch[0], batch[1]
+        rng, sub = jax.random.split(rng)
+        img_list, _ = get_mc_preds(apply_fn, x, y, mc_iter=cfg.mc_iter, rng=sub)
+        preds = np.stack(img_list, axis=0)  # (N, B, D, H, W, C)
+        if preds.shape[-1] > 1:
+            ale, epi, uncert = uncert_regression_gal(img_list, reduction=None)
+            pred_mean = preds[..., :-1].mean(axis=0)
+        else:
+            ale = np.zeros_like(preds[0])
+            epi = preds.var(axis=0, ddof=1).mean(axis=-1, keepdims=True)
+            uncert = ale + epi
+            pred_mean = preds.mean(axis=0)
+        err = ((pred_mean[..., : uncert.shape[-1]] - np.asarray(y)) ** 2)
+        uce, _, _, _ = uceloss(err, uncert)
+        meters["ale"].update(float(np.mean(ale)))
+        meters["epi"].update(float(np.mean(epi)))
+        meters["uncert"].update(float(np.mean(uncert)))
+        meters["err"].update(float(np.mean(err)))
+        meters["uce"].update(uce)
+        print(
+            "pair {}: ale {:.6f}, epi {:.6f}, uncert {:.6f}, err {:.6f}, UCE {:.6f}".format(
+                i, float(np.mean(ale)), float(np.mean(epi)),
+                float(np.mean(uncert)), float(np.mean(err)), uce
+            )
+        )
+    print(
+        "MC uncertainty ({} samples): ale {:.6f} +- {:.6f}, epi {:.6f} +- {:.6f}, "
+        "UCE {:.6f} +- {:.6f}".format(
+            cfg.mc_iter, meters["ale"].avg, meters["ale"].std,
+            meters["epi"].avg, meters["epi"].std,
+            meters["uce"].avg, meters["uce"].std,
+        )
+    )
+    return meters["uce"].avg, meters["epi"].avg
+
+
 def main(cfg: InferConfig):
     spec = build_model(cfg.model, cfg)
     if cfg.torch_checkpoint:
@@ -103,6 +170,11 @@ def main(cfg: InferConfig):
     else:
         test_set = LPBABrainInferDatasetS2S(test_paths, transforms=test_composed)
     loader = Loader(test_set, batch_size=1, shuffle=False)
+    if cfg.mc_iter > 0:
+        if cfg.dropout_rate <= 0:
+            raise SystemExit("mc_iter > 0 requires dropout_rate > 0 "
+                             "(a deterministic net has zero MC variance)")
+        return run_mc_uncertainty(spec, params, loader, cfg)
     step = make_infer_step(spec, cfg)
 
     eval_dsc_def = AverageMeter()

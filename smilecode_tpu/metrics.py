@@ -27,15 +27,37 @@ def dice_val_voi(y_pred: jax.Array, y_true: jax.Array, labels: tuple = VOI_LBLS)
 
     Accepts any shape (the reference uses [0, 0] of (B,1,D,H,W); here pass
     the raw (D,H,W) or (B,D,H,W,1) volumes — all voxels are flattened).
+
+    Implementation: lax.scan over fixed voxel chunks accumulating per-label
+    (intersection, |pred|, |true|) counts. The earlier whole-volume one-hot
+    formulation materialized two (54, N) bool tensors (~0.5 GB of
+    intermediates at 4.9 M voxels) inside the jitted eval step; the chunked
+    scan keeps the live intermediates at (54, 2^17) (~7 MB) with identical
+    results — compares are plain VPU vector ops, no gather/scatter.
     """
-    pred = y_pred.reshape(-1)
-    true = y_true.reshape(-1)
-    lbl = jnp.asarray(labels, dtype=pred.dtype)  # (L,)
-    pred_onehot = pred[None, :] == lbl[:, None]  # (L, N)
-    true_onehot = true[None, :] == lbl[:, None]
-    inter = jnp.sum(pred_onehot & true_onehot, axis=1).astype(jnp.float32)
-    union = jnp.sum(pred_onehot, axis=1) + jnp.sum(true_onehot, axis=1)
-    dsc = 2.0 * inter / (union.astype(jnp.float32) + 1e-5)
+    pred = y_pred.reshape(-1).astype(jnp.int32)
+    true = y_true.reshape(-1).astype(jnp.int32)
+    lbl = jnp.asarray(labels, dtype=jnp.int32)  # (L,)
+    chunk = min(1 << 17, pred.shape[0])
+    pad = (-pred.shape[0]) % chunk
+    # distinct out-of-vocab pad values: padding never matches a label and
+    # never intersects
+    pred = jnp.pad(pred, (0, pad), constant_values=-1).reshape(-1, chunk)
+    true = jnp.pad(true, (0, pad), constant_values=-2).reshape(-1, chunk)
+
+    def body(acc, pt):
+        p, t = pt
+        po = p[None, :] == lbl[:, None]  # (L, chunk)
+        to = t[None, :] == lbl[:, None]
+        return (
+            acc[0] + jnp.sum(po & to, axis=1),
+            acc[1] + jnp.sum(po, axis=1),
+            acc[2] + jnp.sum(to, axis=1),
+        ), ()
+
+    zeros = jnp.zeros((lbl.shape[0],), jnp.int32)
+    (inter, n_pred, n_true), _ = jax.lax.scan(body, (zeros, zeros, zeros), (pred, true))
+    dsc = 2.0 * inter.astype(jnp.float32) / ((n_pred + n_true).astype(jnp.float32) + 1e-5)
     return jnp.mean(dsc)
 
 

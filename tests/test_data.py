@@ -130,3 +130,75 @@ class TestPreprocess:
         assert pimg.shape == (160, 192, 160) and pimg.dtype == np.float32
         assert plbl.dtype == np.uint16
         assert 0.0 <= pimg.min() and pimg.max() <= 1.0
+
+    @staticmethod
+    def _write_analyze(dirpath, name, vol, gz=True):
+        """Write a minimal Analyze 7.5 .hdr + .img[.gz] pair.
+
+        Buffer layout is the Analyze standard: x fastest, then y, then z —
+        i.e. `vol` indexed (z, y, x) is serialized with np.tobytes() (C order,
+        last axis fastest) directly."""
+        import gzip
+        import struct
+
+        dz, dy, dx = vol.shape
+        hdr = bytearray(348)
+        struct.pack_into("<i", hdr, 0, 348)  # sizeof_hdr (sets endianness)
+        # dim[0..3] = ndim, dx, dy, dz at byte offset 40
+        struct.pack_into("<4h", hdr, 40, 3, dx, dy, dz)
+        datatype = {np.dtype("uint8"): 2, np.dtype("int16"): 4,
+                    np.dtype("float32"): 16}[vol.dtype]
+        struct.pack_into("<h", hdr, 70, datatype)
+        with open(os.path.join(dirpath, name + ".hdr"), "wb") as f:
+            f.write(hdr)
+        img_path = os.path.join(dirpath, name + ".img" + (".gz" if gz else ""))
+        opener = gzip.open if gz else open
+        with opener(img_path, "wb") as f:
+            f.write(vol.tobytes())
+        return img_path
+
+    def test_analyze_reader_roundtrip(self, tmp_path):
+        """Orientation round-trip: a known asymmetric (z, y, x) pattern must
+        come back in (z, y, x) index order — the SimpleITK GetArrayFromImage
+        convention the reference crops in (makePklDataset.py:12-13)."""
+        from smilecode_tpu.data.preprocess import _read_analyze_img_gz
+
+        dz, dy, dx = 5, 7, 11  # pairwise-distinct extents catch axis swaps
+        vol = np.arange(dz * dy * dx, dtype=np.float32).reshape(dz, dy, dx)
+        vol[1, 2, 3] = -99.0  # asymmetric marker
+        path = self._write_analyze(str(tmp_path), "toy_skullstripped", vol)
+        back = _read_analyze_img_gz(path)
+        assert back.shape == (dz, dy, dx)
+        np.testing.assert_array_equal(back, vol)
+        # int16 + uncompressed + big-endian-free path for the label reader
+        lbl = RNG.integers(0, 100, (dz, dy, dx)).astype(np.int16)
+        lpath = self._write_analyze(str(tmp_path), "toy_label", lbl, gz=False)
+        np.testing.assert_array_equal(_read_analyze_img_gz(lpath), lbl)
+
+    def test_make_pkl_dataset_end_to_end(self, tmp_path):
+        """Full driver on synthetic Analyze subjects: crop shapes AND
+        orientation (marker voxel survives at the predicted post-crop index)."""
+        from smilecode_tpu.data.preprocess import make_pkl_dataset
+
+        dz, dy, dx = 24, 30, 20
+        img = np.zeros((dz, dy, dx), dtype=np.float32)
+        img[4:20, 5:25, 3:17] = 1.0
+        img[6, 7, 5] = 9.0  # asymmetric marker inside the brain
+        lbl = (img > 0).astype(np.int16) * 21
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        self._write_analyze(str(raw), "S01.skullstripped", img)
+        self._write_analyze(str(raw), "S01.label", lbl)
+        out = tmp_path / "pkl"
+        make_pkl_dataset(str(raw), str(out), shape=(16, 24, 16), verbose=False)
+        with open(out / "subject_01.pkl", "rb") as f:
+            pimg, plbl = pickle.load(f)
+        assert pimg.shape == (16, 24, 16) and pimg.dtype == np.float32
+        assert plbl.shape == (16, 24, 16) and plbl.dtype == np.uint16
+        # reproduce the reference crop math on the numpy volume and check the
+        # marker lands at the same place with value 1.0 (max after minmax)
+        c = center(img)
+        ref = crop_by_center(img, c, (16, 24, 16))
+        mz, my, mx = np.unravel_index(np.argmax(ref), ref.shape)
+        assert pimg[mz, my, mx] == 1.0
+        np.testing.assert_allclose(pimg, (ref - ref.min()) / (ref.max() - ref.min()))

@@ -115,3 +115,51 @@ def test_mc_dropout_rdn_end_to_end():
         apply_fn, m, f, f, mc_iter=3, rng=jax.random.PRNGKey(2)
     )
     assert len(errs) == 3 and all(np.isfinite(errs))
+
+
+@pytest.mark.slow  # infer driver e2e, jitted stochastic forward
+def test_infer_driver_mc_uncertainty(tmp_path):
+    """`infer.py mc_iter=N dropout_rate=...` end-to-end: synthetic pkls +
+    random-weight RDN checkpoint -> MC sampling -> gal decomposition -> UCE
+    (VERDICT r4 #7; protocol from `RDN/utils.py:377-504`)."""
+    import pickle
+
+    from smilecode_tpu import infer as infer_mod
+    from smilecode_tpu.config import InferConfig
+    from smilecode_tpu.models.registry import build_model
+    from smilecode_tpu.utils.checkpoint import save_checkpoint
+
+    shape = (16, 16, 16)
+    test_dir = tmp_path / "Test"
+    test_dir.mkdir()
+    rng = np.random.default_rng(7)
+    from smilecode_tpu.data.trans import LPBA_SEG_TABLE
+
+    for i in range(2):
+        img = rng.random(shape).astype(np.float32)
+        seg = rng.choice(LPBA_SEG_TABLE[:8], shape).astype(np.uint16)
+        with open(test_dir / f"subject_{i:02d}.pkl", "wb") as f:
+            pickle.dump((img, seg), f)
+
+    cfg = InferConfig(
+        model="rdn", test_dir=str(test_dir), model_dir=str(tmp_path / "exp"),
+        img_size=shape, stages=1, levels=(1, 1, 1, 1),
+        dropout_rate=0.3, mc_iter=3,
+    )
+    spec = build_model(cfg.model, cfg)
+    m = jnp.zeros((1, *shape, 1), jnp.float32)
+    params = spec.module.init(jax.random.PRNGKey(0), m, m)
+    save_checkpoint({"params": params, "epoch": 0, "best_dsc": 0.0},
+                    cfg.model_dir, "dsc0.000epoch000.ckpt")
+
+    uce, epi = infer_mod.main(cfg)
+    assert np.isfinite(uce) and uce >= 0.0
+    assert epi > 0.0  # dropout variance must be non-degenerate
+
+    # guard: mc_iter without dropout is rejected
+    cfg_bad = InferConfig(
+        model="rdn", test_dir=str(test_dir), model_dir=str(tmp_path / "exp"),
+        img_size=shape, stages=1, levels=(1, 1, 1, 1), mc_iter=3,
+    )
+    with pytest.raises(SystemExit):
+        infer_mod.main(cfg_bad)
