@@ -27,9 +27,11 @@ with nothing banked. This version:
      measured v4 window-clamp artifacts, not bf16 numerics — see
      tests/test_modet_planes.py::test_bf16_vs_f32_with_kernels) — a trip
      costs one half-res compile, not two full-res;
-  4. a global self-budget (SMILECODE_BENCH_BUDGET_S, default 2700 s) stops
-     starting new phases when low, and a SIGTERM handler prints the banked
-     JSON line if the driver times the whole process out anyway.
+  4. a global self-budget (SMILECODE_BENCH_BUDGET_S, default 1700 s — the
+     round-4 driver SIGTERMed the whole process at 1797 s, so the default
+     must come in under 1800 with margin) stops starting new phases when
+     low, and a SIGTERM handler prints the banked JSON line if the driver
+     times the whole process out anyway.
 
 OOM robustness (round-1 failure was RESOURCE_EXHAUSTED, BENCH_r01.json):
 each measurement attempt runs in a SUBPROCESS so a TPU OOM cannot poison
@@ -93,27 +95,44 @@ def _excite_params(params):
     return jax.tree_util.tree_map_with_path(excite, params)
 
 
-def bf16_parity_gate() -> None:
+def bf16_parity_gate(full_res: bool = False) -> None:
     """Assert the bf16 planes forward stays within the f32 flow-endpoint
     bounds of tests/test_modet.py::test_bf16_compute_matches_f32, on smooth
-    brain-like volumes with excited projection/rpb params.
+    brain-like volumes.
 
-    Runs at HALF resolution with guarded_warp=True — the production infer
-    configuration. The round-3 gate ran full-res with guarded=False, where
-    the excited flows exceed the v4 kernel's per-plane d-spread budget and
-    clamp SILENTLY; the resulting p99=0.33 was a window-clamp artifact, not
-    bf16 numerics (the guard exists exactly to route such flows to exact
-    kernels). Raises on failure, which fails this subprocess and keeps the
-    banked f32 number."""
+    Default: HALF resolution, guarded_warp=True, excited projection/rpb
+    params — the cheap pre-upgrade gate. The round-3 gate ran full-res with
+    guarded=False, where the excited flows exceed the v4 kernel's per-plane
+    d-spread budget and clamp SILENTLY; the resulting p99=0.33 was a
+    window-clamp artifact, not bf16 numerics (the guard exists exactly to
+    route such flows to exact kernels). Raises on failure, which fails this
+    subprocess and keeps the banked f32 number.
+
+    full_res=True (VERDICT r4 #6): the same guarded gate at FULL resolution
+    with the trained production checkpoint (benchmarks/prod_ckpt.npz) when
+    present — the on-chip full-res anchor for the bf16 evidence chain.
+    Stats ride the bench JSON either way (GATE_STATS line)."""
     import jax
     import numpy as np
 
     from smilecode_tpu.models import ModeT
     from smilecode_tpu.models.modet_planes import modet_forward_planes
 
+    shape = SHAPE if full_res else GATE_SHAPE
     model = ModeT(qk_scale=1.0)
-    moving, fixed = _smooth_vol(1, GATE_SHAPE), _smooth_vol(2, GATE_SHAPE)
-    params = _excite_params(model.init(jax.random.PRNGKey(0), moving, fixed))
+    moving, fixed = _smooth_vol(1, shape), _smooth_vol(2, shape)
+    params = model.init(jax.random.PRNGKey(0), moving, fixed)
+    ckpt = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "benchmarks", "prod_ckpt.npz")
+    if full_res and os.path.exists(ckpt):
+        import numpy as _np
+
+        from benchmarks.make_prod_ckpt import unflatten_into
+        params = unflatten_into(params, dict(_np.load(ckpt)))
+        src = "prod_ckpt"
+    else:
+        params = _excite_params(params)
+        src = "excited"
     fwd = jax.jit(
         lambda p, m, f, dt: modet_forward_planes(
             p, m, f, qk_scale=1.0, guarded_warp=True, compute_dtype=dt
@@ -125,6 +144,10 @@ def bf16_parity_gate() -> None:
     err = np.abs(np.asarray(flow16) - np.asarray(flow32))
     assert float(np.abs(np.asarray(flow32)).max()) > 0.05, "gate flows degenerate"
     mean, p99 = float(err.mean()), float(np.percentile(err, 99))
+    print("GATE_STATS " + json.dumps({
+        "res": "full" if full_res else "half", "params": src,
+        "flow_err_mean": round(mean, 5), "flow_err_p99": round(p99, 5),
+    }), flush=True)
     print(f"bf16 parity gate: flow err mean={mean:.4f} p99={p99:.4f}",
           file=sys.stderr, flush=True)
     assert mean < 0.06 and p99 < 0.3, f"bf16 gate tripped: mean={mean} p99={p99}"
@@ -340,13 +363,19 @@ def measure_warps(k: int = 2) -> dict:
     return {"warps_ms": (med - oh) / k}
 
 
-def measure_train(k: int) -> dict:
+def measure_train(k: int, remat: bool = False) -> dict:
     """Full training step (fwd + NCC + Grad3d + bwd + amsgrad) at full res
     through the planes graph (the production TPU training path,
     `train.py fast_path=planes`): fused attention backward + v3/v4 warp
     adjoint. Returns ms/step stats. Same timing discipline as measure():
     distinct inputs, scan-serialized in-jit repetition, host-overhead
-    subtraction."""
+    subtraction.
+
+    remat=True wraps the loss in jax.checkpoint: the k=2 scan pathology
+    (XLA unrolls a 2-trip scan and co-allocates BOTH iterations' backward
+    activations -> HBM paging, 7562 ms/step measured 2026-08-19) is a
+    buffer-lifetime problem; remat shrinks the saved-activation set so the
+    co-allocated footprint fits."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -369,6 +398,9 @@ def measure_train(k: int) -> dict:
             p, m, f, qk_scale=1.0, guarded_warp=False
         )
         return ncc_vxm(moved, f) + grad3d(flow, penalty="l2")
+
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn)
 
     def rep(params, opt_state, fixed, movs):
         def body(carry, m):
@@ -451,6 +483,16 @@ def main():
     if len(sys.argv) > 1 and sys.argv[1] == "--gate":
         bf16_parity_gate()
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--gate-full":
+        bf16_parity_gate(full_res=True)
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--measure-baseline":
+        from benchmarks.baselines_bench import measure_baseline
+
+        print("BENCH_RESULT " + json.dumps(
+            measure_baseline(sys.argv[2], int(sys.argv[3]), sys.argv[4])),
+            flush=True)
+        return
     if len(sys.argv) > 1 and sys.argv[1] == "--measure":
         # child mode: one attempt, print a single JSON stats line
         k = int(sys.argv[2])
@@ -458,13 +500,15 @@ def main():
         print("BENCH_RESULT " + json.dumps(measure(k, warp_impl)), flush=True)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--measure-train":
-        print("BENCH_RESULT " + json.dumps(measure_train(int(sys.argv[2]))), flush=True)
+        remat = len(sys.argv) > 3 and sys.argv[3] == "remat"
+        print("BENCH_RESULT " + json.dumps(
+            measure_train(int(sys.argv[2]), remat)), flush=True)
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--measure-warps":
         print("BENCH_RESULT " + json.dumps(measure_warps()), flush=True)
         return
 
-    budget = float(os.environ.get("SMILECODE_BENCH_BUDGET_S", "2700"))
+    budget = float(os.environ.get("SMILECODE_BENCH_BUDGET_S", "1700"))
 
     def remaining():
         return budget - (time.time() - _T0)
@@ -548,8 +592,14 @@ def main():
     # ---- phase 2: bf16 upgrade — half-res guarded gate child first; only
     # a passing gate buys the full-res bf16 measure, which overwrites the
     # headline only if it actually improves it
+    def gate_stats(proc):
+        for line in (proc.stdout or "").splitlines():
+            if line.startswith("GATE_STATS "):
+                return json.loads(line[len("GATE_STATS "):])
+        return None
+
     gate_proc = None
-    if remaining() > 600:
+    if remaining() > 400:
         t = max(120, min(1800, remaining() - 120))
         _log(f"starting bf16 gate (half-res, guarded; timeout {t:.0f}s)")
         gate_proc = _run_child(
@@ -557,6 +607,10 @@ def main():
         for line in (gate_proc.stderr or "").splitlines():
             if "parity gate" in line:
                 _log(line.strip())
+        st = gate_stats(gate_proc)
+        if st is not None:
+            st["passed"] = "GATE_OK" in (gate_proc.stdout or "")
+            result["bf16_gate"] = st
     if gate_proc is not None and "GATE_OK" in (gate_proc.stdout or ""):
         stats = attempt(["--measure", "2", "planes-bf16"], 3600, "bf16 k=2 planes")
         if stats and stats["per_pair_ms"] < result["value"]:
@@ -580,14 +634,52 @@ def main():
     if stats:
         result["train_step_ms_full_res"] = round(stats["per_step_ms"], 3)
 
-    # ---- phase 4: guarded warp ladder on smooth realistic (+-4 voxel)
+    # ---- phase 4: on-chip smoke + timing for every baseline family
+    # (VERDICT r4 #3) — the reference smoke blocks at full res, OOM/compile-
+    # laddered down to half res; each family in its own subprocess
+    from benchmarks.baselines_bench import FAMILIES
+
+    baselines = {}
+    for fam in FAMILIES:
+        if remaining() < 200:
+            baselines[fam] = {"skipped": "budget"}
+            continue
+        for k, res in ((2, "full"), (1, "full"), (1, "half")):
+            stats = attempt(["--measure-baseline", fam, str(k), res],
+                            1500, f"baseline {fam} k={k} {res}")
+            if stats:
+                baselines[fam] = {
+                    "ms": round(stats["per_pair_ms"], 3), "res": res, "k": k}
+                break
+        else:
+            baselines.setdefault(fam, {"failed": "all ladder steps"})
+    result["baselines"] = baselines
+
+    # ---- phase 5: full-res guarded bf16 gate on-chip (VERDICT r4 #6) —
+    # the full-res anchor for the bf16 evidence chain; prod_ckpt params
+    # when benchmarks/prod_ckpt.npz exists
+    if remaining() > 200:
+        t = max(120, min(1800, remaining() - 60))
+        _log(f"starting bf16 gate (FULL-res, guarded; timeout {t:.0f}s)")
+        gf = _run_child(
+            [sys.executable, os.path.abspath(__file__), "--gate-full"], t)
+        st = gate_stats(gf)
+        if st is not None:
+            st["passed"] = "GATE_OK" in (gf.stdout or "")
+            result["bf16_gate_full"] = st
+            _log(f"full-res gate: {st}")
+        else:
+            _log("full-res gate produced no stats; tail:\n%s"
+                 % "\n".join((gf.stderr or "").splitlines()[-4:]))
+
+    # ---- phase 6: guarded warp ladder on smooth realistic (+-4 voxel)
     # INJECTED flows, summed over every warp site of the forward — the
     # production warp number that needs no trained checkpoint
     stats = attempt(["--measure-warps"], 3600, "prod warps")
     if stats:
         result["prod_warps_ms"] = round(stats["warps_ms"], 3)
 
-    # ---- phase 5: production-config e2e row (VERDICT r3 weak #4): guarded
+    # ---- phase 7: production-config e2e row (VERDICT r3 weak #4): guarded
     # warps + trained-checkpoint params when benchmarks/prod_ckpt.npz
     # exists (realistic smooth flows), else excited params (softmax
     # tie-breaking noise flows — an oracle-fallback worst-case bound)

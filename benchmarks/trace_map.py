@@ -86,6 +86,18 @@ def main():
     print("warmup out[1] mean", float(jnp.abs(jax.tree.leaves(out)[1]).mean()),
           flush=True)
 
+    # optimized HLO straight from the loaded executable: works even when the
+    # compile was served from the persistent cache (in which case the
+    # --xla_dump_to path above produces NOTHING — observed round 5)
+    hlo_text = ""
+    try:
+        compiled = fwd.lower(params, m0, f0).compile()
+        hlo_text = "\n".join(
+            m.to_string() for m in compiled.runtime_executable().hlo_modules()
+        )
+    except Exception as e:  # fall back to the dump dir
+        print("executable hlo fetch failed:", e)
+
     logdir = "/tmp/trace_planes_map"
     os.system(f"rm -rf {logdir}")
     jax.profiler.start_trace(logdir)
@@ -98,17 +110,33 @@ def main():
     paths = glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True)
     with gzip.open(paths[0], "rt") as fh:
         trace = json.load(fh)
+    # keep DEVICE-track events only: host python frames ($file:line names,
+    # PjitFunction, np.asarray, ...) flooded the round-5 first aggregation.
+    # Device tracks are the pids whose process_name metadata mentions the
+    # TPU/device; fall back to dropping $-prefixed + known-host names.
+    dev_pids = set()
+    for e in trace.get("traceEvents", []):
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pname = (e.get("args") or {}).get("name", "")
+            if any(s in pname for s in ("TPU", "/device", "Device", "XLA")):
+                dev_pids.add(e.get("pid"))
     agg = {}
     for e in trace.get("traceEvents", []):
-        if e.get("ph") == "X" and "dur" in e and e.get("tid") is not None:
-            name = e.get("name", "")
-            agg[name] = agg.get(name, 0) + e["dur"]
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        name = e.get("name", "")
+        if dev_pids:
+            if e.get("pid") not in dev_pids:
+                continue
+        elif name.startswith("$") or "(" in name or name.startswith("np."):
+            continue
+        agg[name] = agg.get(name, 0) + e["dur"]
     top = sorted(agg.items(), key=lambda kv: -kv[1])[:45]
 
-    hlo_text = ""
-    for p in glob.glob("/tmp/xdump/*after_optimizations*.txt"):
-        hlo_text += open(p).read()
-    print(f"hlo dump bytes: {len(hlo_text)}")
+    if not hlo_text:
+        for p in glob.glob("/tmp/xdump/*after_optimizations*.txt"):
+            hlo_text += open(p).read()
+    print(f"hlo text bytes: {len(hlo_text)}")
 
     def meta_for(op):
         m = re.search(rf"%{re.escape(op)} = [^\n]*", hlo_text)
