@@ -69,3 +69,40 @@ def bench_op(fn, make_inputs, k: int = 4, iters: int = 3, overhead_ms: float | N
     run_once()  # compile
     ts = [run_once() for _ in range(iters)]
     return max(0.0, (float(np.median(ts)) - overhead_ms) / k)
+
+
+def bench_op_scan(fn, make_inputs, k: int = 16, iters: int = 3,
+                  overhead_ms: float | None = None):
+    """Like `bench_op` but repeats via `lax.scan` over k STACKED distinct
+    inputs — compile time is constant in k, so k can be large enough
+    (>=16) that the ~29 ms host round trip stops dominating sub-2 ms ops.
+    Sequencing between iterations comes from the scan carry (the summed
+    output feeds an optimization_barrier with the next inputs)."""
+    if overhead_ms is None:
+        overhead_ms = measure_overhead()
+
+    sets = [make_inputs() for _ in range(k)]
+    stacked = [jnp.stack([s[i] for s in sets]) for i in range(len(sets[0]))]
+
+    @jax.jit
+    def rep(*stk):
+        def body(acc, args):
+            args = list(args)
+            args[0], _ = jax.lax.optimization_barrier((args[0], acc))
+            out = fn(*args)
+            leaves = jax.tree.leaves(out)
+            return acc + sum(jnp.sum(l, dtype=jnp.float32) for l in leaves), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), tuple(stk))
+        return acc
+
+    def run_once():
+        for a in stacked:
+            a.block_until_ready()
+        t0 = time.perf_counter()
+        float(rep(*stacked))
+        return (time.perf_counter() - t0) * 1000
+
+    run_once()  # compile
+    ts = [run_once() for _ in range(iters)]
+    return max(0.0, (float(np.median(ts)) - overhead_ms) / k)

@@ -429,21 +429,23 @@ def modet_forward_planes(
     fx_in = fixed.astype(cd) if cd else fixed
     dims_ok = all(s % 8 == 0 for s in moving.shape[1:4])
     if dims_ok:
-        from smilecode_tpu.ops.encoder_s2d import encoder_s2d_apply
+        from smilecode_tpu.ops.encoder_s2d import encoder_s2d_planes_apply
 
+        # NDHWC (B,D,H,W,1) -> planes (B,1,D,H,W) is a pure reshape (C=1);
+        # the planes-native encoder then emits planes features directly
         enc_apply = functools.partial(
-            encoder_s2d_apply, p["encoder"], first_out_channel=channels
+            encoder_s2d_planes_apply, p["encoder"], first_out_channel=channels
         )
-        m_feats = enc_apply(mv_in)
-        f_feats = enc_apply(fx_in)
+        m1, m2, m3, m4, m5 = enc_apply(jnp.moveaxis(mv_in, -1, 1))
+        f1, f2, f3, f4, f5 = enc_apply(jnp.moveaxis(fx_in, -1, 1))
     else:
         from smilecode_tpu.models.modet import Encoder
 
         enc = Encoder(first_out_channel=channels)
         m_feats = enc.apply({"params": p["encoder"]}, mv_in)
         f_feats = enc.apply({"params": p["encoder"]}, fx_in)
-    m1, m2, m3, m4, m5 = [to_planes(f) for f in m_feats]
-    f1, f2, f3, f4, f5 = [to_planes(f) for f in f_feats]
+        m1, m2, m3, m4, m5 = [to_planes(f) for f in m_feats]
+        f1, f2, f3, f4, f5 = [to_planes(f) for f in f_feats]
 
     def attn(level, q, k, heads):
         out = modet_attention_planes_diff(
@@ -463,20 +465,25 @@ def modet_forward_planes(
     def qscale(x):
         return x * jnp.asarray(scale, x.dtype)
 
+    # the attention kernel emits f32; CWM convs run in the feature compute
+    # dtype (bf16 on the bf16 path — round-5 trace: f32 CWM dots were 9 ms)
+    # while the fused flow they produce accumulates back in f32
+    feat_dt = m5.dtype
+
     # level 5 (1/16)
     w5 = attn(5, qscale(proj(5, f5, nh[0])), proj(5, m5, nh[0]), nh[0])
-    flow = cwm_planes(p["cwm5"], w5, nh[0]).astype(f32)
+    flow = cwm_planes(p["cwm5"], w5.astype(feat_dt), nh[0]).astype(f32)
 
     # level 4 (1/8)
     m4w = wp(m4, flow)
     w4 = attn(4, qscale(proj(4, f4, nh[1])), proj(4, m4w, nh[1]), nh[1])
-    w4 = cwm_planes(p["cwm4"], w4, nh[1]).astype(f32)
+    w4 = cwm_planes(p["cwm4"], w4.astype(feat_dt), nh[1]).astype(f32)
     flow = wp(upsample2_planes(2 * flow), w4) + w4  # 1/4
 
     # level 3 (1/4)
     m3w = wp(m3, flow)
     w3 = attn(3, qscale(proj(3, f3, nh[2])), proj(3, m3w, nh[2]), nh[2])
-    w3 = cwm_planes(p["cwm3"], w3, nh[2]).astype(f32)
+    w3 = cwm_planes(p["cwm3"], w3.astype(feat_dt), nh[2]).astype(f32)
     flow = wp(upsample2_planes(2 * flow), w3) + w3  # 1/2
 
     # level 2 (1/2): compose THEN upsample (reference quirk)

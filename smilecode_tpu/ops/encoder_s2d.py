@@ -58,6 +58,42 @@ def und2d(y: jax.Array, c: int) -> jax.Array:
     return y.reshape(b, 2 * d2, 2 * h2, 2 * w2, c)
 
 
+# ---------------------------------------------------------------- planes I/O
+# Round-5 trace: und2d + to_planes cost ~16 ms/fwd as TWO full-volume copies,
+# the first landing in a C<=16-minor NDHWC tensor that v5e pads 8-16x in HBM
+# (a (160,192,160,8) bf16 feature is 79 MB logical, 1.26 GB padded). These
+# entries move between s2d layout and the decoder's planes layout
+# (B, C, D, H, W) in ONE transpose whose output is W-minor — unpadded.
+
+
+def s2d_from_planes(x: jax.Array) -> jax.Array:
+    """(B, C, D, H, W) planes -> (B, D/2, H/2, W/2, 8C), same channel
+    composite ((vd*2+vh)*2+vw)*C + c as `s2d`."""
+    b, c, d, h, w = x.shape
+    xs = x.reshape(b, c, d // 2, 2, h // 2, 2, w // 2, 2)
+    xs = xs.transpose(0, 2, 4, 6, 3, 5, 7, 1)
+    return xs.reshape(b, d // 2, h // 2, w // 2, 8 * c)
+
+
+def und2d_to_planes(y: jax.Array, c: int) -> jax.Array:
+    """(B, D2, H2, W2, 8C) -> planes (B, C, 2D2, 2H2, 2W2) in one copy."""
+    b, d2, h2, w2, _ = y.shape
+    y = y.reshape(b, d2, h2, w2, 2, 2, 2, c)
+    y = y.transpose(0, 7, 1, 4, 2, 5, 3, 6)
+    return y.reshape(b, c, 2 * d2, 2 * h2, 2 * w2)
+
+
+def pool_s2d(xs: jax.Array, c: int) -> jax.Array:
+    """AvgPool3d(2) fused with the next level's `s2d`:
+    (B, D2, H2, W2, 8C) -> (B, D2/2, H2/2, W2/2, 8C) without materializing
+    the pooled NDHWC intermediate (C-minor, heavily padded)."""
+    b, d2, h2, w2, _ = xs.shape
+    g = xs.reshape(b, d2 // 2, 2, h2 // 2, 2, w2 // 2, 2, 8, c)
+    g = g.mean(axis=7)
+    g = g.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return g.reshape(b, d2 // 2, h2 // 2, w2 // 2, 8 * c)
+
+
 @functools.lru_cache(maxsize=None)
 def _s2d3_map() -> np.ndarray:
     """One-hot map m[sd, sh, sw, v, q, t]: block-offset tap (s in [0,3) per
@@ -93,14 +129,19 @@ def s2d3_kernel(kernel: jax.Array) -> jax.Array:
 
 def conv3_s2d(xs: jax.Array, kernel: jax.Array, bias: jax.Array | None) -> jax.Array:
     """SAME 3^3 conv, computed s2d-resident. xs: (B, D2, H2, W2, 8Cin);
-    kernel: the ORIGINAL (3,3,3,Cin,Cout) parameter."""
+    kernel: the ORIGINAL (3,3,3,Cin,Cout) parameter.
+
+    The conv emits f32 (`preferred_element_type`) even for bf16 inputs:
+    on-chip this halves the conv time (bf16-out lowering is ~2x slower,
+    benchmarks/conv_bench round 5) and the IN stats ride the f32 output;
+    callers cast back to the io dtype at the block boundary."""
     k2 = s2d3_kernel(kernel).astype(xs.dtype)
     y = jax.lax.conv_general_dilated(
         xs, k2, (1, 1, 1), [(1, 1)] * 3,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
     )
     if bias is not None:
-        cout = kernel.shape[-1]
         y = y + jnp.tile(bias, 8).astype(y.dtype)
     return y
 
@@ -124,13 +165,15 @@ def avg_pool2_s2d(xs: jax.Array, cout: int) -> jax.Array:
 
 
 def _conv_block_s2d(p, xs, cout, alpha=0.1):
+    dt = xs.dtype
     xs = conv3_s2d(xs, p["main"]["kernel"], p["main"]["bias"])
-    return leaky_relu(xs, alpha)
+    return leaky_relu(xs, alpha).astype(dt)
 
 
 def _conv_ins_block_s2d(p, xs, cout, alpha=0.1):
+    dt = xs.dtype
     xs = conv3_s2d(xs, p["main"]["kernel"], p["main"]["bias"])
-    return leaky_relu(instance_norm_s2d(xs, cout), alpha)
+    return leaky_relu(instance_norm_s2d(xs, cout), alpha).astype(dt)
 
 
 def encoder_s2d_apply(enc_params, x, first_out_channel: int = 4):
@@ -183,3 +226,60 @@ def encoder_s2d_apply(enc_params, x, first_out_channel: int = 4):
     out4 = conv_ins_direct(p["conv4_2"], out4)
 
     return out0, out1, out2, out3, out4
+
+
+def _conv_ins_direct(pp, v, alpha=0.1):
+    from smilecode_tpu.ops.blocks import instance_norm
+
+    y = jax.lax.conv_general_dilated(
+        v, pp["main"]["kernel"].astype(v.dtype), (1, 1, 1), [(1, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        preferred_element_type=jnp.float32,
+    ) + pp["main"]["bias"].astype(jnp.float32)
+    return leaky_relu(instance_norm(y), alpha).astype(v.dtype)
+
+
+def encoder_s2d_planes_apply(enc_params, x_planes, first_out_channel: int = 4):
+    """Planes-in / planes-out encoder: same math as `encoder_s2d_apply`, but
+    features are emitted directly in the decoder's (B, C, D, H, W) layout and
+    the inter-level pool+s2d is one fused copy — no C-minor NDHWC tensor is
+    ever materialized at levels 0-2 (round-5 trace: those copies were ~16 ms
+    of the 107 ms bf16 forward).
+
+    x_planes: (B, 1, D, H, W). Returns 5 planes-layout feature volumes.
+    """
+    p = enc_params
+    c = first_out_channel
+
+    # level 0 (full res, s2d at 1/2 grid)
+    xs = s2d_from_planes(x_planes)
+    xs = _conv_block_s2d(p["conv0_0"], xs, c)
+    xs = _conv_ins_block_s2d(p["conv0_1"], xs, 2 * c)
+    xs = _conv_ins_block_s2d(p["conv0_2"], xs, 2 * c)
+    out0 = und2d_to_planes(xs, 2 * c)
+
+    # level 1 (1/2 res, s2d at 1/4 grid)
+    xs = pool_s2d(xs, 2 * c)
+    xs = _conv_ins_block_s2d(p["conv1_1"], xs, 4 * c)
+    xs = _conv_ins_block_s2d(p["conv1_2"], xs, 4 * c)
+    out1 = und2d_to_planes(xs, 4 * c)
+
+    # level 2 (1/4 res, s2d at 1/8 grid)
+    xs = pool_s2d(xs, 4 * c)
+    xs = _conv_ins_block_s2d(p["conv2_1"], xs, 8 * c)
+    xs = _conv_ins_block_s2d(p["conv2_2"], xs, 8 * c)
+    out2 = und2d_to_planes(xs, 8 * c)
+
+    # levels 3-4: direct NDHWC convs (C >= 64 at tiny volumes), transposed
+    # to planes at the end (small tensors)
+    pooled = avg_pool2_s2d(xs, 8 * c)
+    out3 = _conv_ins_direct(p["conv3_1"], pooled)
+    out3 = _conv_ins_direct(p["conv3_2"], out3)
+
+    b, d, h, w, cc = out3.shape
+    pooled4 = out3.reshape(b, d // 2, 2, h // 2, 2, w // 2, 2, cc).mean(axis=(2, 4, 6))
+    out4 = _conv_ins_direct(p["conv4_1"], pooled4)
+    out4 = _conv_ins_direct(p["conv4_2"], out4)
+
+    tp = lambda t: t.transpose(0, 4, 1, 2, 3)
+    return out0, out1, out2, tp(out3), tp(out4)

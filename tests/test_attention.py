@@ -80,3 +80,54 @@ def test_grads_finite():
     for g in (gq, gk, gr):
         assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.max(jnp.abs(gq))) > 0
+
+
+def test_kernel_size_whitelist_and_k5():
+    """kernel_size generality: the reference whitelists k in {3,5,7,9,11,13}
+    (`ModeT-cu/modet/include/utils.h:11-14`) though its launcher only accepts
+    3; our oracle implements the whole whitelist. Brute-force check at k=5."""
+    import pytest
+
+    b, d, h, w, heads, hd = 1, 4, 5, 4, 2, 3
+    q = RNG.standard_normal((b, d, h, w, heads, hd)).astype(np.float32)
+    k = RNG.standard_normal((b, d, h, w, heads, hd)).astype(np.float32)
+    rpb = (RNG.standard_normal((heads, 5, 5, 5)) * 0.1).astype(np.float32)
+
+    out = np.asarray(
+        neighborhood_attention_3d(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(rpb),
+            scale=0.7, kernel_size=5,
+        )
+    )
+
+    # naive per-voxel reference
+    kp = np.zeros((b, d + 4, h + 4, w + 4, heads, hd), np.float32)
+    kp[:, 2:-2, 2:-2, 2:-2] = k
+    ref = np.zeros((b, d, h, w, heads, 3), np.float32)
+    for di in range(d):
+        for hi in range(h):
+            for wi in range(w):
+                for he in range(heads):
+                    logits = np.empty(125, np.float64)
+                    offs = np.empty((125, 3), np.float64)
+                    t = 0
+                    for od in range(5):
+                        for oh in range(5):
+                            for ow in range(5):
+                                kv = kp[0, di + od, hi + oh, wi + ow, he]
+                                logits[t] = (q[0, di, hi, wi, he] * 0.7) @ kv \
+                                    + rpb[he, od, oh, ow]
+                                offs[t] = (od - 2, oh - 2, ow - 2)
+                                t += 1
+                    e = np.exp(logits - logits.max())
+                    ref[0, di, hi, wi, he] = (e / e.sum()) @ offs
+    np.testing.assert_allclose(
+        out, ref.reshape(b, d, h, w, heads * 3), atol=2e-5, rtol=1e-4
+    )
+
+    with pytest.raises(ValueError):
+        neighborhood_attention_3d(
+            jnp.asarray(q), jnp.asarray(k), None, kernel_size=4)
+    with pytest.raises(ValueError):
+        neighborhood_attention_3d(
+            jnp.asarray(q), jnp.asarray(k), None, kernel_size=5, impl="pallas")

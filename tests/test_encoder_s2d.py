@@ -10,8 +10,12 @@ from smilecode_tpu.models.modet import Encoder
 from smilecode_tpu.ops.encoder_s2d import (
     conv3_s2d,
     encoder_s2d_apply,
+    encoder_s2d_planes_apply,
+    pool_s2d,
     s2d,
+    s2d_from_planes,
     und2d,
+    und2d_to_planes,
 )
 
 RNG = np.random.default_rng(17)
@@ -20,6 +24,24 @@ RNG = np.random.default_rng(17)
 def test_s2d_roundtrip():
     x = jnp.asarray(RNG.standard_normal((2, 8, 12, 8, 5)).astype(np.float32))
     assert np.array_equal(np.asarray(und2d(s2d(x), 5)), np.asarray(x))
+
+
+def test_planes_layout_helpers():
+    x = jnp.asarray(RNG.standard_normal((2, 8, 12, 8, 5)).astype(np.float32))
+    xp = x.transpose(0, 4, 1, 2, 3)
+    assert np.array_equal(np.asarray(s2d_from_planes(xp)), np.asarray(s2d(x)))
+    assert np.array_equal(
+        np.asarray(und2d_to_planes(s2d(x), 5)),
+        np.asarray(und2d(s2d(x), 5).transpose(0, 4, 1, 2, 3)),
+    )
+    from smilecode_tpu.ops.encoder_s2d import avg_pool2_s2d
+
+    xs = s2d(x)
+    np.testing.assert_allclose(
+        np.asarray(pool_s2d(xs, 5)),
+        np.asarray(s2d(avg_pool2_s2d(xs, 5))),
+        atol=1e-6,
+    )
 
 
 def test_conv3_s2d_matches_direct():
@@ -45,4 +67,13 @@ def test_encoder_s2d_equals_flax():
         assert o.shape == r.shape, (i, o.shape, r.shape)
         np.testing.assert_allclose(
             np.asarray(o), np.asarray(r), atol=2e-5, rtol=1e-4, err_msg=f"level {i}"
+        )
+
+    planes_outs = encoder_s2d_planes_apply(
+        params["params"], jnp.moveaxis(x, -1, 1), first_out_channel=4
+    )
+    for i, (o, r) in enumerate(zip(planes_outs, refs)):
+        np.testing.assert_allclose(
+            np.asarray(jnp.moveaxis(o, 1, -1)), np.asarray(r),
+            atol=2e-5, rtol=1e-4, err_msg=f"planes level {i}",
         )
