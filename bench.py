@@ -634,9 +634,43 @@ def main():
     if stats:
         result["train_step_ms_full_res"] = round(stats["per_step_ms"], 3)
 
-    # ---- phase 4: on-chip smoke + timing for every baseline family
-    # (VERDICT r4 #3) — the reference smoke blocks at full res, OOM/compile-
-    # laddered down to half res; each family in its own subprocess
+    # ---- phase 4: guarded warp ladder on smooth realistic (+-4 voxel)
+    # INJECTED flows, summed over every warp site of the forward — the
+    # production warp number that needs no trained checkpoint
+    stats = attempt(["--measure-warps"], 3600, "prod warps")
+    if stats:
+        result["prod_warps_ms"] = round(stats["warps_ms"], 3)
+
+    # ---- phase 5: production-config e2e row (VERDICT r3 weak #4): guarded
+    # warps + trained-checkpoint params when benchmarks/prod_ckpt.npz
+    # exists (realistic smooth flows), else excited params (softmax
+    # tie-breaking noise flows — an oracle-fallback worst-case bound)
+    stats = attempt(["--measure", "2", "planes-prod"], 3600, "prod k=2 planes")
+    if stats:
+        result["prod_guarded_ms"] = round(stats["per_pair_ms"], 3)
+
+    # ---- phase 6: full-res guarded bf16 gate on-chip (VERDICT r4 #6) —
+    # the full-res anchor for the bf16 evidence chain; prod_ckpt params
+    # when benchmarks/prod_ckpt.npz exists
+    if remaining() > 200:
+        t = max(120, min(1800, remaining() - 60))
+        _log(f"starting bf16 gate (FULL-res, guarded; timeout {t:.0f}s)")
+        gf = _run_child(
+            [sys.executable, os.path.abspath(__file__), "--gate-full"], t)
+        st = gate_stats(gf)
+        if st is not None:
+            st["passed"] = "GATE_OK" in (gf.stdout or "")
+            result["bf16_gate_full"] = st
+            _log(f"full-res gate: {st}")
+        else:
+            _log("full-res gate produced no stats; tail:\n%s"
+                 % "\n".join((gf.stderr or "").splitlines()[-4:]))
+
+    # ---- phase 7 (LAST — 6 families x potentially-cold full-res compiles
+    # must never starve the cheaper-when-warm production rows above):
+    # on-chip smoke + timing for every baseline family (VERDICT r4 #3) —
+    # the reference smoke blocks at full res, OOM/compile-laddered down to
+    # half res; each family in its own subprocess
     from benchmarks.baselines_bench import FAMILIES
 
     baselines = {}
@@ -654,38 +688,6 @@ def main():
         else:
             baselines.setdefault(fam, {"failed": "all ladder steps"})
     result["baselines"] = baselines
-
-    # ---- phase 5: full-res guarded bf16 gate on-chip (VERDICT r4 #6) —
-    # the full-res anchor for the bf16 evidence chain; prod_ckpt params
-    # when benchmarks/prod_ckpt.npz exists
-    if remaining() > 200:
-        t = max(120, min(1800, remaining() - 60))
-        _log(f"starting bf16 gate (FULL-res, guarded; timeout {t:.0f}s)")
-        gf = _run_child(
-            [sys.executable, os.path.abspath(__file__), "--gate-full"], t)
-        st = gate_stats(gf)
-        if st is not None:
-            st["passed"] = "GATE_OK" in (gf.stdout or "")
-            result["bf16_gate_full"] = st
-            _log(f"full-res gate: {st}")
-        else:
-            _log("full-res gate produced no stats; tail:\n%s"
-                 % "\n".join((gf.stderr or "").splitlines()[-4:]))
-
-    # ---- phase 6: guarded warp ladder on smooth realistic (+-4 voxel)
-    # INJECTED flows, summed over every warp site of the forward — the
-    # production warp number that needs no trained checkpoint
-    stats = attempt(["--measure-warps"], 3600, "prod warps")
-    if stats:
-        result["prod_warps_ms"] = round(stats["warps_ms"], 3)
-
-    # ---- phase 7: production-config e2e row (VERDICT r3 weak #4): guarded
-    # warps + trained-checkpoint params when benchmarks/prod_ckpt.npz
-    # exists (realistic smooth flows), else excited params (softmax
-    # tie-breaking noise flows — an oracle-fallback worst-case bound)
-    stats = attempt(["--measure", "2", "planes-prod"], 3600, "prod k=2 planes")
-    if stats:
-        result["prod_guarded_ms"] = round(stats["per_pair_ms"], 3)
 
     emit()
 

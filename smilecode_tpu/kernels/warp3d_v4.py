@@ -72,6 +72,12 @@ def _v4_ranges(cd, ch, cw, sd: int, sh: int, sw: int, kd_n: int, fhp: int):
     dmin = jnp.clip(
         jnp.min(celld.reshape(b, fd, fh * fw), -1), 0, (sd + 3) - kd_n
     )
+    # slabs the plane actually reads: cell spread + 1 interpolation corner;
+    # the kernel issues per-slab conditional DMAs for just these slabs
+    # (smooth/near-zero flows need 2-4 of the 8 — the window DMA was the
+    # round-5 trace's top warp cost)
+    dmax = jnp.max(celld.reshape(b, fd, fh * fw), -1)
+    dneed = jnp.clip(dmax - dmin + 2, 2, kd_n)
     rd = jnp.clip(celld - dmin[:, :, None, None], 0, kd_n - 2)
     relh = cellh - jax.lax.broadcasted_iota(jnp.int32, (1, 1, fh, fw), 2)
     rels = cellw - jax.lax.broadcasted_iota(jnp.int32, (1, 1, fh, fw), 3)
@@ -88,6 +94,7 @@ def _v4_ranges(cd, ch, cw, sd: int, sh: int, sw: int, kd_n: int, fhp: int):
 
     return (
         dmin.astype(jnp.int32),
+        dneed.astype(jnp.int32),
         blockmm(rd, "min"), blockmm(rd, "max"),
         blockmm(relh, "min"), blockmm(relh, "max"),
         blockmm(rels, "min"), blockmm(rels, "max"),
@@ -97,36 +104,54 @@ def _v4_ranges(cd, ch, cw, sd: int, sh: int, sw: int, kd_n: int, fhp: int):
 def _warp_v4_kernel(c: int, sd: int, sh: int, sw: int,
                     sdp: int, shp: int, swp: int, fwp: int,
                     kd_n: int, nhb: int, fh: int, fw: int,
-                    dmin_ref, rdmin_ref, rdmax_ref, tmin_ref, tmax_ref,
-                    smin_ref, smax_ref,
+                    dmin_ref, dneed_ref, rdmin_ref, rdmax_ref, tmin_ref,
+                    tmax_ref, smin_ref, smax_ref,
                     cd_ref, ch_ref, cw_ref, src_hbm, o_ref, win, sem):
     b = pl.program_id(0)
     dpl = pl.program_id(1)
 
     # plane-wide d window start comes precomputed through SMEM, so the
-    # window DMA issues immediately (no coords read/reduce on the critical
+    # window DMAs issue immediately (no coords read/reduce on the critical
     # path)
     dmin = dmin_ref[b, dpl]
+    # per-slab DMA with a DYNAMIC trip count: only the dneed slabs the
+    # plane's cells actually read are fetched (rd loop bounds never reach
+    # beyond slab dneed-1, so the unfetched tail is never read). Near-zero/
+    # smooth flows need 2-4 of the kd_n slabs — the always-full window DMA
+    # was the round-5 trace's top warp cost. The window scratch is slab-
+    # LEADING so each copy indexes win.at[j] (the double-buffering idiom);
+    # partial d-slices / scalar indices on a MIDDLE dest axis produced
+    # silently wrong data on hardware (interpret mode passed).
+    dneed = dneed_ref[b, dpl]
 
-    # ONE DMA for all channels x all rows; rows land at sublane HMARGIN
-    cp = pltpu.make_async_copy(
-        src_hbm.at[pl.ds(b * c, c), pl.ds(dmin, kd_n), :, :],
-        win.at[:, :, pl.ds(HMARGIN, shp), :],
-        sem,
-    )
-    cp.start()
+    def _slab_copy(j):
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(b * c, c), dmin + j, :, :],
+            win.at[j, :, pl.ds(HMARGIN, shp), :],
+            sem.at[j],
+        )
+
+    def _issue(j, carry):
+        _slab_copy(j).start()
+        return carry
+
+    jax.lax.fori_loop(0, dneed, _issue, 0)
     # zero the sublane margins (read by shifted slices, then 0-weighted;
     # uninitialized VMEM would leak NaN through 0 * NaN)
     rows_total = win.shape[2]
-    win[:, :, :HMARGIN, :] = jnp.zeros((c, kd_n, HMARGIN, swp), win.dtype)
+    win[:, :, :HMARGIN, :] = jnp.zeros((kd_n, c, HMARGIN, swp), win.dtype)
     win[:, :, HMARGIN + shp:, :] = jnp.zeros(
-        (c, kd_n, rows_total - HMARGIN - shp, swp), win.dtype
+        (kd_n, c, rows_total - HMARGIN - shp, swp), win.dtype
     )
 
     hloc = jax.lax.broadcasted_iota(jnp.int32, (HB, fwp), 0)
     wloc = jax.lax.broadcasted_iota(jnp.int32, (HB, fwp), 1)
 
-    cp.wait()
+    def _drain(j, carry):
+        _slab_copy(j).wait()
+        return carry
+
+    jax.lax.fori_loop(0, dneed, _drain, 0)
 
     zero = jnp.zeros((HB, fwp), jnp.float32)
 
@@ -187,10 +212,16 @@ def _warp_v4_kernel(c: int, sd: int, sh: int, sw: int,
                 # sublane roll hoisted OUT of the s loop (v3 paid it per s):
                 # f32 before the rolls — Mosaic's dynamic_rotate is
                 # 32-bit-only; the window stays io-dtype (bf16 DMA halves
-                # traffic), only the (HB+8)-row vreg tile widens
+                # traffic), only the rolled vreg tile widens. The tile is
+                # HB+16 = 32 rows (4 vregs), NOT HB+8 = 24: dynamic rotates
+                # of 24-row (3-vreg) f32 tiles are silently off by one 8-row
+                # granule on the current toolchain (probed 2026-08-21 —
+                # 16/32-row rolls exact, 24-row rolls shifted +8; interpret
+                # mode does not reproduce it), which made every HB=16 v4
+                # output wrong on-chip this round until widened here
                 rows = [
                     pltpu.roll(
-                        win[cc, rd_c, pl.ds(start, HB + 8), :].astype(jnp.float32),
+                        win[rd_c, cc, pl.ds(start, HB + 16), :].astype(jnp.float32),
                         -sub, axis=0,
                     )[:HB]
                     for cc in range(c)
@@ -249,7 +280,7 @@ def warp3d_planes_v4(planes, cd, ch, cw, c: int, interpret: bool = False,
     swp = _round_up(sw + 3, 128)
     io_dt = planes.dtype if planes.dtype == jnp.bfloat16 else jnp.float32
     kd_n = min(kd, sdp)
-    rows_total = HMARGIN + shp + HB + 8
+    rows_total = HMARGIN + shp + HB + 16
 
     cmax = _chunk_channels(c, kd_n, rows_total, swp, np.dtype(io_dt).itemsize)
     if cmax < c:
@@ -288,7 +319,7 @@ def warp3d_planes_v4(planes, cd, ch, cw, c: int, interpret: bool = False,
     out = pl.pallas_call(
         kernel,
         grid=(b, fd),
-        in_specs=[smem_spec] * 7 + [
+        in_specs=[smem_spec] * 8 + [
             coord_spec, coord_spec, coord_spec,
             pl.BlockSpec(memory_space=pl.ANY),  # src planes in HBM
         ],
@@ -297,8 +328,8 @@ def warp3d_planes_v4(planes, cd, ch, cw, c: int, interpret: bool = False,
         ),
         out_shape=jax.ShapeDtypeStruct((bc, fd, fhp, fwp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((c, kd_n, rows_total, swp), io_dt),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((kd_n, c, rows_total, swp), io_dt),
+            pltpu.SemaphoreType.DMA((kd_n,)),
         ],
         interpret=interpret,
     )(*ranges, cd, ch, cw, planes)
@@ -308,35 +339,47 @@ def warp3d_planes_v4(planes, cd, ch, cw, c: int, interpret: bool = False,
 def _warp_v4_dflow_kernel(c: int, sd: int, sh: int, sw: int,
                           sdp: int, shp: int, swp: int, fwp: int,
                           kd_n: int, nhb: int, fh: int, fw: int,
-                          dmin_ref, rdmin_ref, rdmax_ref, tmin_ref, tmax_ref,
-                          smin_ref, smax_ref,
+                          dmin_ref, dneed_ref, rdmin_ref, rdmax_ref, tmin_ref,
+                          tmax_ref, smin_ref, smax_ref,
                           cd_ref, ch_ref, cw_ref, g_ref, src_hbm,
                           od_ref, oh_ref, ow_ref, win, sem):
     """d_coords of the v4 warp: the forward's loops with the trilinear value
     weights replaced by their per-axis derivative coefficients (see
     `warp3d_v3._warp_v3_dflow_kernel`); whole-plane program structure,
-    SMEM-precomputed dmin/loop ranges like the forward."""
+    SMEM-precomputed dmin/dneed/loop ranges and chunked conditional window
+    DMA like the forward."""
     b = pl.program_id(0)
     dpl = pl.program_id(1)
 
     dmin = dmin_ref[b, dpl]
+    dneed = dneed_ref[b, dpl]
 
-    cp = pltpu.make_async_copy(
-        src_hbm.at[pl.ds(b * c, c), pl.ds(dmin, kd_n), :, :],
-        win.at[:, :, pl.ds(HMARGIN, shp), :],
-        sem,
-    )
-    cp.start()
+    def _slab_copy(j):
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(b * c, c), dmin + j, :, :],
+            win.at[j, :, pl.ds(HMARGIN, shp), :],
+            sem.at[j],
+        )
+
+    def _issue(j, carry):
+        _slab_copy(j).start()
+        return carry
+
+    jax.lax.fori_loop(0, dneed, _issue, 0)
     rows_total = win.shape[2]
-    win[:, :, :HMARGIN, :] = jnp.zeros((c, kd_n, HMARGIN, swp), win.dtype)
+    win[:, :, :HMARGIN, :] = jnp.zeros((kd_n, c, HMARGIN, swp), win.dtype)
     win[:, :, HMARGIN + shp:, :] = jnp.zeros(
-        (c, kd_n, rows_total - HMARGIN - shp, swp), win.dtype
+        (kd_n, c, rows_total - HMARGIN - shp, swp), win.dtype
     )
 
     hloc = jax.lax.broadcasted_iota(jnp.int32, (HB, fwp), 0)
     wloc = jax.lax.broadcasted_iota(jnp.int32, (HB, fwp), 1)
 
-    cp.wait()
+    def _drain(j, carry):
+        _slab_copy(j).wait()
+        return carry
+
+    jax.lax.fori_loop(0, dneed, _drain, 0)
 
     zero = jnp.zeros((HB, fwp), jnp.float32)
 
@@ -397,7 +440,7 @@ def _warp_v4_dflow_kernel(c: int, sd: int, sh: int, sw: int,
                 sub = t - al
                 rows = [
                     pltpu.roll(
-                        win[cc, rd_c, pl.ds(start, HB + 8), :].astype(jnp.float32),
+                        win[rd_c, cc, pl.ds(start, HB + 16), :].astype(jnp.float32),
                         -sub, axis=0,
                     )[:HB]
                     for cc in range(c)
@@ -450,7 +493,7 @@ def warp3d_planes_v4_dflow(planes, cd, ch, cw, g, c: int, interpret: bool = Fals
     swp = _round_up(sw + 3, 128)
     io_dt = planes.dtype if planes.dtype == jnp.bfloat16 else jnp.float32
     kd_n = min(kd, sdp)
-    rows_total = HMARGIN + shp + HB + 8
+    rows_total = HMARGIN + shp + HB + 16
 
     cmax = _chunk_channels(c, kd_n, rows_total, swp, np.dtype(io_dt).itemsize)
     if cmax < c:
@@ -496,7 +539,7 @@ def warp3d_planes_v4_dflow(planes, cd, ch, cw, g, c: int, interpret: bool = Fals
     dcd, dch, dcw = pl.pallas_call(
         kernel,
         grid=(b, fd),
-        in_specs=[smem_spec] * 7 + [
+        in_specs=[smem_spec] * 8 + [
             coord_spec, coord_spec, coord_spec,
             pl.BlockSpec(
                 (c, 1, fhp, fwp), lambda b, d: (b, d, 0, 0),
@@ -507,8 +550,8 @@ def warp3d_planes_v4_dflow(planes, cd, ch, cw, g, c: int, interpret: bool = Fals
         out_specs=(out_spec, out_spec, out_spec),
         out_shape=(shape, shape, shape),
         scratch_shapes=[
-            pltpu.VMEM((c, kd_n, rows_total, swp), io_dt),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((kd_n, c, rows_total, swp), io_dt),
+            pltpu.SemaphoreType.DMA((kd_n,)),
         ],
         interpret=interpret,
     )(*ranges, cd, ch, cw, g, planes)
